@@ -1,0 +1,47 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding (tiles x samples mesh axes) is validated the standard
+TPU-SPMD way — `--xla_force_host_platform_device_count=8` on the CPU
+backend — because real multi-chip hardware is not available in CI
+(SURVEY.md §4(d)).
+
+Note: this environment's sitecustomize force-registers the axon TPU
+backend via ``jax.config.update("jax_platforms", ...)`` which overrides the
+``JAX_PLATFORMS`` env var, so we must override the config again here.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+from pathtrace_tpu import Camera, RenderConfig, cornell_box
+
+
+@pytest.fixture(scope="session")
+def scene():
+    return cornell_box()
+
+
+@pytest.fixture(scope="session")
+def camera():
+    return Camera.create()
+
+
+@pytest.fixture(scope="session")
+def tiny_cfg():
+    """BASELINE config #1: 64x64, 1 spp, 2 bounces, jnp backend."""
+    return RenderConfig(width=64, height=64, spp=1, max_bounces=2, backend="jnp")
+
+
+@pytest.fixture(scope="session")
+def small_cfg():
+    return RenderConfig(width=64, height=64, spp=4, backend="jnp")
