@@ -135,10 +135,14 @@ class Camera:
 
         The rays are NOT normalized (the reference never normalizes the
         primary ray — depth t is measured in units of this basis length).
+
+        Formulated as ``R_view^-1 @ unproject_view(corner)`` rather than the
+        reference's ``unproject_world(corner) - eye`` (``Camera.h:131-148``):
+        the latter cancels ~|eye|-magnitude terms against each other and
+        loses ~1.5e-3 of relative direction accuracy in f32 (enough to
+        dither wall depths by tens of basis units under sub-ulp camera
+        motion). Identical in exact arithmetic.
         """
-        inv_vp = self.inverse_view_matrix() @ self.inverse_projection_matrix(
-            width, height
-        )
         corners = jnp.array(
             [[-1.0, -1.0], [1.0, -1.0], [-1.0, 1.0], [1.0, 1.0]], jnp.float32
         )
@@ -146,9 +150,10 @@ class Camera:
             [corners, jnp.zeros((4, 1), jnp.float32), jnp.ones((4, 1), jnp.float32)],
             axis=1,
         )  # [4, 4], clip z = 0 as in the reference
-        world = ndc @ inv_vp.T  # [4, 4]
-        world = world[:, :3] / world[:, 3:4]
-        return world - self.position[None, :]
+        view = ndc @ self.inverse_projection_matrix(width, height).T  # [4, 4]
+        view3 = view[:, :3] / view[:, 3:4]
+        rot = self.inverse_view_matrix()[:3, :3]  # world <- view rotation
+        return view3 @ rot.T
 
     # -- interactive-mode semantics (Window.h:133-147, Camera.h:79-112) -----
     def move(self, direction: str, delta_time: float) -> "Camera":

@@ -65,6 +65,11 @@ class RenderConfig:
     seed: int = 0
     push_ray_origin: float = PUSH_RAY_ORIGIN
     tile_shape: Tuple[int, int] = (8, 256)
+    # Next-event estimation (the reference's dormant getDirectLighting,
+    # pathtrace.cu:138-148,169): off by default for image parity; when on,
+    # the light index matches the reference's hard-coded 8.
+    nee: bool = False
+    light_index: int = 8
 
     @property
     def resolved_jitter(self) -> bool:

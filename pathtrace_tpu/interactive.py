@@ -1,0 +1,124 @@
+"""Interactive frame loop — the GLFW/OpenGL pipeline re-imagined headless.
+
+The reference's interactive mode (``src/main.cu:141-177``) is a
+GLFW window: WASD moves the camera (``Window.h:133-147``), TAB toggles the
+CNN denoiser live (``Window.h:168-169``), every frame renders into a
+shared CUDA/torch buffer, a 'denoise' kernel packs clamped RGB for
+GL_POINTS drawing (``src/denoise.cu``).
+
+TPU-native equivalent: a jit-compiled ``FrameStepper`` —
+``camera, frame -> display RGB`` — with the same control semantics exposed
+as an API (``move``/``look``/``toggle_denoising``), driving either an
+offline sequence writer (frames to BMP/PNG) or any embedding UI. The
+display formatting (clamp to [0,1], 8-bit pack) reproduces
+``denoise_kernel`` (``denoise.cu:9-29``) minus its coordinate un-scramble,
+which our clean row/col layout never needed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pathtrace_tpu.camera import Camera
+from pathtrace_tpu.config import RenderConfig
+from pathtrace_tpu.render import pack_channels, render_aovs
+
+
+def to_display(color: jnp.ndarray) -> jnp.ndarray:
+    """Clamp [H, W, 3] float color to [0,1] and pack to uint8
+    (denoise.cu:17-23)."""
+    return (jnp.clip(color, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
+class FrameStepper:
+    """Stateful interactive session: camera + denoising toggle + frame
+    counter. ``step()`` renders one frame and returns display RGB uint8."""
+
+    def __init__(
+        self,
+        scene,
+        camera: Camera,
+        cfg: RenderConfig,
+        denoising: bool = False,
+        checkpoint: Optional[str] = None,
+    ):
+        self.scene = scene
+        self.camera = camera
+        self.cfg = cfg
+        self.denoising = denoising
+        self.checkpoint = checkpoint
+        self.frame = 0
+        self.last_ms = float("nan")
+
+    # -- control semantics (Window.h key handling) -------------------------
+    def move(self, direction: str, delta_time: float = 1.0 / 60.0):
+        """WASD: forward/backward/left/right."""
+        self.camera = self.camera.move(direction, delta_time)
+
+    def look(self, dx: float, dy: float):
+        self.camera = self.camera.look(dx, dy)
+
+    def toggle_denoising(self):
+        """TAB (Window.h:168-169)."""
+        self.denoising = not self.denoising
+
+    # -- frame step --------------------------------------------------------
+    def step(self) -> np.ndarray:
+        t0 = time.perf_counter()
+        aovs = render_aovs(self.scene, self.camera, self.cfg, frame=self.frame)
+        if self.denoising and self.checkpoint:
+            from pathtrace_tpu.models.infer import denoise_channels
+
+            color = denoise_channels(pack_channels(aovs), self.checkpoint)
+        else:
+            color = aovs["color"]
+        rgb = np.asarray(to_display(color))
+        self.last_ms = (time.perf_counter() - t0) * 1000.0
+        self.frame += 1
+        return rgb
+
+
+def run_interactive(
+    scene,
+    camera: Camera,
+    cfg: RenderConfig,
+    denoising: bool = False,
+    max_frames: int = 0,
+    checkpoint: Optional[str] = None,
+    out_dir: str = "output/frames",
+    script=None,
+    logger=print,
+):
+    """Headless interactive loop: renders frames along a camera script
+    (default: slow strafe + look, exercising the WASD/mouse paths), writes
+    each frame as BMP, prints per-frame ms/fps like the reference's render
+    loop. Ctrl-C or ``max_frames`` ends the session."""
+    from pathtrace_tpu.io.bmp import write_bmp
+
+    os.makedirs(out_dir, exist_ok=True)
+    stepper = FrameStepper(scene, camera, cfg, denoising, checkpoint)
+    n = max_frames if max_frames > 0 else 10_000_000
+    try:
+        for i in range(n):
+            if script is not None:
+                script(stepper, i)
+            else:
+                stepper.move("right", 1.0 / 120.0)
+                stepper.look(0.05, 0.0)
+            rgb = stepper.step()
+            write_bmp(os.path.join(out_dir, f"frame_{i:05d}.bmp"), rgb)
+            logger(
+                f"frame {i}: {stepper.last_ms:.2f}ms "
+                f"({1000.0 / max(stepper.last_ms, 1e-9):.1f} fps)"
+                + (" [denoised]" if stepper.denoising else "")
+            )
+    except KeyboardInterrupt:
+        logger("interrupted")
+    return stepper

@@ -73,7 +73,10 @@ def intersect_spheres(origin, direction, radius, position):
     perp = rel - tca[..., None] * dn[..., None, :]
     d2 = jnp.sum(perp * perp, axis=-1)
     det = radius * radius - d2
-    thc = jnp.sqrt(jnp.maximum(det, 0.0))
+    # Double-where keeps reverse-mode AD finite: sqrt'(0) = inf would
+    # otherwise multiply the (zero) cotangent of missed spheres into NaN.
+    pos_det = det > 0.0
+    thc = jnp.where(pos_det, jnp.sqrt(jnp.where(pos_det, det, 1.0)), 0.0)
     t_near = (tca - thc) * inv_len[..., None]
     t_far = (tca + thc) * inv_len[..., None]
     t = jnp.where(t_near > 0.0, t_near, t_far)

@@ -18,7 +18,9 @@ import jax.numpy as jnp
 TWO_PI = 2.0 * jnp.pi
 
 
-def _normalize(v, eps=0.0):
+def _normalize(v, eps=1e-20):
+    # eps is far below f32 ulp for unit-scale vectors (bit-identical
+    # forward) but keeps reverse-mode AD finite on masked-out zero lanes.
     return v / jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True) + eps)
 
 

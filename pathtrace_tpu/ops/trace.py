@@ -64,6 +64,7 @@ def trace_paths(
     bounce_uniforms,
     max_bounces: int = 5,
     push_ray_origin: float = 0.05,
+    nee_light_index: int | None = None,
 ) -> TraceResult:
     """Trace a batch of primary rays through the scene.
 
@@ -71,6 +72,12 @@ def trace_paths(
       primary rays are — depth is measured in that basis).
     bounce_uniforms: [..., 2 * max_bounces] — two uniforms per bounce for
       the cosine-weighted BRDF sample.
+    nee_light_index: when set, adds next-event-estimation direct lighting at
+      every hit — the reference's dormant ``getDirectLighting`` path
+      (``pathtrace.cu:169`` commented out; formula ``:138-148`` including
+      its 0.5 factor and hard-coded light). Besides lower variance, the
+      Lambert cos term makes radiance *continuously* differentiable in
+      scene geometry, which pure emission gathering is not.
     """
     batch_shape = direction.shape[:-1]
     origin = jnp.broadcast_to(origin, direction.shape)
@@ -105,6 +112,13 @@ def trace_paths(
         contrib = mask * emission
         if n == 0:
             contrib = jnp.clip(contrib, 0.0, 1.0)  # pathtrace.cu:170-174
+        if nee_light_index is not None:
+            from pathtrace_tpu.ops.sampling import direct_lighting
+
+            dl = direct_lighting(
+                scene, normal, pos, nee_light_index, push_ray_origin
+            )
+            contrib = contrib + mask * dl * obj_color * 0.5
         color = color + jnp.where(hit_now[..., None], contrib, 0.0)
         mask = jnp.where(hit_now[..., None], mask * obj_color, mask)
 

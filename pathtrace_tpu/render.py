@@ -37,19 +37,24 @@ class FrameMoments(Dict[str, jnp.ndarray]):
     pass
 
 
-def primary_rays(cam, cfg: RenderConfig, jitter_uv=None):
+def primary_rays(cam, cfg: RenderConfig, jitter_uv=None, row_offset=0, local_h=None):
     """Eye position + per-(sample-)pixel ray directions.
 
-    jitter_uv: optional [..., H, W, 2] uniforms in [0, 1); when given, the
+    jitter_uv: optional [..., h, W, 2] uniforms in [0, 1); when given, the
     sampling position is offset by u - 0.5 in pixel units, mirroring
     ``pathtrace.cu:222-225``.
-    Returns (origin [3], direction [..., H, W, 3]).
+    row_offset/local_h: render only image rows [row_offset, row_offset +
+    local_h) — the tile-sharding hook; NDC still spans the full frame.
+    Returns (origin [3], direction [..., h, W, 3]).
     """
+    h = cfg.height if local_h is None else local_h
     basis = cam.eye_ray_basis(cfg.width, cfg.height)
-    rows = jnp.arange(cfg.height, dtype=jnp.float32)[:, None]
+    rows = jnp.arange(h, dtype=jnp.float32)[:, None] + jnp.asarray(
+        row_offset, jnp.float32
+    )
     cols = jnp.arange(cfg.width, dtype=jnp.float32)[None, :]
-    rows = jnp.broadcast_to(rows, (cfg.height, cfg.width))
-    cols = jnp.broadcast_to(cols, (cfg.height, cfg.width))
+    rows = jnp.broadcast_to(rows, (h, cfg.width))
+    cols = jnp.broadcast_to(cols, (h, cfg.width))
     if jitter_uv is not None:
         rows = rows + (jitter_uv[..., 0] - 0.5)
         cols = cols + (jitter_uv[..., 1] - 0.5)
@@ -58,18 +63,34 @@ def primary_rays(cam, cfg: RenderConfig, jitter_uv=None):
     return cam.position, directions
 
 
-def _trace_chunk(scene, cam, cfg: RenderConfig, key, chunk_spp: int, sample_offset: int):
-    """Trace ``chunk_spp`` samples; returns partial sums + partial moments."""
+def _trace_chunk(
+    scene,
+    cam,
+    cfg: RenderConfig,
+    frame,
+    chunk_spp: int,
+    sample_offset: int,
+    row_offset=0,
+    local_h: int | None = None,
+):
+    """Trace ``chunk_spp`` samples (of image rows [row_offset,
+    row_offset+local_h)); returns partial sums + partial moments."""
+    h = cfg.height if local_h is None else local_h
     uniforms = rng.sample_uniforms(
-        key, chunk_spp, cfg.height, cfg.width, cfg.max_bounces, sample_offset
+        cfg.seed,
+        frame,
+        chunk_spp,
+        h,
+        cfg.width,
+        cfg.max_bounces,
+        sample_offset,
+        row_offset=row_offset,
     )
     jitter_uv = uniforms[..., :2] if cfg.resolved_jitter else None
     bounce_u = uniforms[..., 2:]
-    origin, directions = primary_rays(cam, cfg, jitter_uv)
+    origin, directions = primary_rays(cam, cfg, jitter_uv, row_offset, h)
     if directions.ndim == 3:  # no jitter -> no sample axis; add it
-        directions = jnp.broadcast_to(
-            directions, (chunk_spp, cfg.height, cfg.width, 3)
-        )
+        directions = jnp.broadcast_to(directions, (chunk_spp, h, cfg.width, 3))
     res = trace_paths(
         scene,
         origin,
@@ -77,6 +98,7 @@ def _trace_chunk(scene, cam, cfg: RenderConfig, key, chunk_spp: int, sample_offs
         bounce_u,
         max_bounces=cfg.max_bounces,
         push_ray_origin=cfg.push_ray_origin,
+        nee_light_index=cfg.light_index if cfg.nee else None,
     )
     sums = {
         "color": jnp.sum(res.color, axis=0),
@@ -99,18 +121,32 @@ def _trace_chunk(scene, cam, cfg: RenderConfig, key, chunk_spp: int, sample_offs
     return sums, moments
 
 
-def accumulate_frame(scene, cam, cfg: RenderConfig, key):
-    """Full frame as (sums, moments) partials — the shard-mergeable form.
+def accumulate_frame(
+    scene, cam, cfg: RenderConfig, frame, row_offset=0, local_h=None, spp=None,
+    sample_offset=0,
+):
+    """A frame slab as (sums, moments) partials — the shard-mergeable form.
 
-    Shards (over spp or over disjoint trailing chunks) combine with
-    elementwise-add on sums and ``merge_moments`` on moments; this function
-    itself folds spp chunks with the same algebra.
+    Shards (over spp ranges or row slabs) combine with elementwise-add on
+    sums and ``merge_moments`` on moments; this function itself folds spp
+    chunks with the same algebra. ``spp``/``sample_offset`` select a
+    sub-range of the global sample lattice (spp sharding); row_offset/
+    local_h a row slab (tile sharding).
     """
-    chunks = cfg.chunks()
-    sums, moments = _trace_chunk(scene, cam, cfg, key, chunks[0], 0)
-    offset = chunks[0]
+    total = cfg.spp if spp is None else spp
+    if cfg.spp_chunk <= 0 or cfg.spp_chunk >= total:
+        chunks = [total]
+    else:
+        n_full, rem = divmod(total, cfg.spp_chunk)
+        chunks = [cfg.spp_chunk] * n_full + ([rem] if rem else [])
+    sums, moments = _trace_chunk(
+        scene, cam, cfg, frame, chunks[0], sample_offset, row_offset, local_h
+    )
+    offset = sample_offset + chunks[0]
     for chunk_spp in chunks[1:]:
-        s, m = _trace_chunk(scene, cam, cfg, key, chunk_spp, offset)
+        s, m = _trace_chunk(
+            scene, cam, cfg, frame, chunk_spp, offset, row_offset, local_h
+        )
         sums = jax.tree.map(jnp.add, sums, s)
         moments = {k: var_lib.merge_moments(moments[k], m[k]) for k in moments}
         offset += chunk_spp
@@ -169,8 +205,7 @@ def unpack_channels(buf: jnp.ndarray) -> Dict[str, jnp.ndarray]:
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _render_aovs_jnp(scene, cam, cfg: RenderConfig, frame):
-    key = rng.sample_key(cfg.seed, frame)
-    sums, moments = accumulate_frame(scene, cam, cfg, key)
+    sums, moments = accumulate_frame(scene, cam, cfg, frame)
     return finalize_aovs(sums, moments, cfg.spp)
 
 

@@ -7,12 +7,23 @@ bounce (``src/pathtrace.cu:126-136,222-225``). Sequential stateful streams
 are hostile to SPMD — the draw order would depend on how samples are
 sharded.
 
-Here every random number is a pure function of ``(seed, frame, sample_index,
-draw_slot)`` via JAX's threefry: fold the integers into a key and generate
-the whole ``[spp, H, W, n_draws]`` lattice at once. Re-sharding the spp or
-tile axes cannot change any value, so sharded and single-chip renders are
-bit-identical. "Resuming" frame-to-frame RNG progression (the reference's
-persistent curand state) is just incrementing ``frame``.
+Here every uniform is a pure function of
+``(seed, frame, sample_index, draw_slot, pixel_row, pixel_col)`` via two
+rounds of the public-domain 'lowbias32' integer mixer. Properties:
+
+- order-free and stateless: any shard (rows, columns, spp ranges) generates
+  exactly its slice of the global lattice, so sharded and single-chip
+  renders are bit-identical;
+- backend-identical: the Pallas megakernel (ops/pallas_trace.py) inlines
+  the same mixer, so the jnp oracle and the TPU kernel consume the *same*
+  random numbers;
+- cheap on the VPU: integer mul/xor/shift only (Mosaic-compatible int32
+  with logical shifts);
+- frame-to-frame progression (the reference's persistent curand state) is
+  just the ``frame`` counter.
+
+Draw-slot layout per (sample, pixel): slots 0-1 sub-pixel jitter, slots
+2 + 2*b + {0,1} the two uniforms of the cosine-weighted bounce b.
 """
 
 from __future__ import annotations
@@ -20,39 +31,81 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# Draw-slot layout per (sample, pixel): slots 0-1 sub-pixel jitter,
-# slots 2 + 2*b + {0,1} the two uniforms of the cosine-weighted bounce b.
 JITTER_SLOTS = 2
 
+# Hash constants as wrapped int32.
+P_MIX1 = 0x7FEB352D
+P_MIX2 = 0x846CA68B - (1 << 32)
+P_GOLD = 0x9E3779B1 - (1 << 32)
+P_ROW = 0x85EBCA77 - (1 << 32)
+P_FRAME = 0xC2B2AE3D - (1 << 32)
 
-def sample_key(seed: int, frame) -> jax.Array:
-    """Key for one frame of one render stream."""
-    key = jax.random.key(seed)
-    return jax.random.fold_in(key, frame)
+
+def mix32(x):
+    """'lowbias32' avalanche mixer over int32 bit patterns."""
+    shr = jax.lax.shift_right_logical
+    x = x ^ shr(x, 16)
+    x = x * jnp.int32(P_MIX1)
+    x = x ^ shr(x, 15)
+    x = x * jnp.int32(P_MIX2)
+    x = x ^ shr(x, 16)
+    return x
+
+
+def base_key(seed, frame):
+    """Scalar int32 stream key for one frame of one render stream."""
+    seed = jnp.asarray(seed, jnp.int32)
+    frame = jnp.asarray(frame, jnp.int32)
+    return mix32(seed ^ mix32(frame * jnp.int32(P_FRAME)))
+
+
+def pixel_keys(height: int, width: int, row_offset=0, col_offset=0):
+    """[H, W] int32 per-pixel keys from ABSOLUTE image coordinates."""
+    rows = jnp.arange(height, dtype=jnp.int32)[:, None] + jnp.asarray(
+        row_offset, jnp.int32
+    )
+    cols = jnp.arange(width, dtype=jnp.int32)[None, :] + jnp.asarray(
+        col_offset, jnp.int32
+    )
+    return mix32(rows * jnp.int32(P_GOLD) ^ (cols * jnp.int32(P_ROW)))
+
+
+def draw_key(bkey, sample_index, slot, n_slots: int):
+    """Scalar int32 key for one (sample, draw-slot)."""
+    s = jnp.asarray(sample_index, jnp.int32)
+    return mix32(bkey ^ ((s * jnp.int32(n_slots) + jnp.int32(slot)) * jnp.int32(P_GOLD)))
+
+
+def uniform_from_keys(pix_key, dkey):
+    """f32 uniforms in [0, 1) from pixel keys x a draw key."""
+    bits = mix32(pix_key ^ dkey)
+    u24 = jax.lax.shift_right_logical(bits, 8)
+    return u24.astype(jnp.float32) * (1.0 / (1 << 24))
 
 
 def sample_uniforms(
-    key: jax.Array,
+    seed,
+    frame,
     spp: int,
     height: int,
     width: int,
     max_bounces: int,
     sample_offset: int = 0,
+    row_offset=0,
+    col_offset=0,
 ) -> jnp.ndarray:
-    """All uniforms for a chunk of samples: [spp, H, W, 2 + 2*max_bounces].
-
-    ``sample_offset`` is the global index of the chunk's first sample so
-    that chunked/sharded renders draw from the same per-sample streams as a
-    monolithic render (shard invariance).
-
-    Values are in [0, 1). curand_uniform is (0, 1]; the only place the
-    difference could matter is ``pow(u, 1/2)`` and ``u * 2pi`` in the cosine
-    sampler, where both conventions are measure-equivalent.
+    """The uniform lattice for a chunk of samples:
+    [spp, H, W, 2 + 2*max_bounces], identical to what the Pallas kernel
+    draws in-register for the same (seed, frame) and absolute coordinates.
     """
-    n_draws = JITTER_SLOTS + 2 * max_bounces
-    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
-        jnp.arange(sample_offset, sample_offset + spp)
-    )
-    return jax.vmap(
-        lambda k: jax.random.uniform(k, (height, width, n_draws), jnp.float32)
-    )(keys)
+    n_slots = JITTER_SLOTS + 2 * max_bounces
+    bkey = base_key(seed, frame)
+    pkeys = pixel_keys(height, width, row_offset, col_offset)  # [H, W]
+    samples = jnp.arange(spp, dtype=jnp.int32) + jnp.asarray(
+        sample_offset, jnp.int32
+    )  # [spp]
+    slots = jnp.arange(n_slots, dtype=jnp.int32)  # [n_slots]
+    dkeys = jax.vmap(
+        lambda s: jax.vmap(lambda d: draw_key(bkey, s, d, n_slots))(slots)
+    )(samples)  # [spp, n_slots]
+    return uniform_from_keys(pkeys[None, :, :, None], dkeys[:, None, None, :])

@@ -21,19 +21,33 @@ from typing import Callable
 import jax
 
 
-def time_fn(fn: Callable, *args, warmup: int = 1, iters: int = 3, **kwargs):
-    """Median wall time of ``fn(*args)`` with device sync. Returns
+def _force(result):
+    """Synchronize AND read back one element to the host. On the tunneled
+    axon backend, ``block_until_ready`` alone has been observed to return
+    before the computation finishes; a host readback of a data-dependent
+    element cannot lie."""
+    import numpy as np
+
+    leaf = jax.tree.leaves(result)[0]
+    jax.block_until_ready(leaf)
+    np.asarray(leaf.ravel()[0:1])  # 1-element device slice -> 4-byte fetch
+    return result
+
+
+def time_fn(fn: Callable, *args, warmup: int = 1, iters: int = 5, **kwargs):
+    """Mean wall time of ``fn(*args)``: ``iters`` chained dispatches timed
+    as a batch and forced with a host readback (amortizes dispatch/tunnel
+    latency while defeating async-timing artifacts). Returns
     (seconds, last_result)."""
     result = None
     for _ in range(max(warmup, 1)):
-        result = jax.block_until_ready(fn(*args, **kwargs))
-    times = []
-    for _ in range(max(iters, 1)):
-        t0 = time.perf_counter()
-        result = jax.block_until_ready(fn(*args, **kwargs))
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    return times[len(times) // 2], result
+        result = _force(fn(*args, **kwargs))
+    iters = max(iters, 1)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        result = fn(*args, **kwargs)
+    _force(result)
+    return (time.perf_counter() - t0) / iters, result
 
 
 def mrays_per_sec(width: int, height: int, spp: int, max_bounces: int, seconds: float):

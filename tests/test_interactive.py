@@ -1,0 +1,62 @@
+"""Interactive frame-loop + embedded denoiser inference tests."""
+
+import os
+
+import jax
+import numpy as np
+
+from pathtrace_tpu import Camera, RenderConfig, cornell_box
+from pathtrace_tpu.interactive import FrameStepper, run_interactive, to_display
+from pathtrace_tpu.models.denoise_cnn import DenoiseCNN
+from pathtrace_tpu.train import create_state, save_checkpoint
+
+CFG = RenderConfig(width=32, height=32, spp=1, backend="jnp")
+
+
+def test_to_display_clamps():
+    import jax.numpy as jnp
+
+    x = jnp.asarray([[[-0.5, 0.5, 2.0]]])
+    out = np.asarray(to_display(x))
+    np.testing.assert_array_equal(out[0, 0], [0, 127, 255])
+
+
+def test_stepper_renders_and_moves():
+    stepper = FrameStepper(cornell_box(), Camera.create(), CFG)
+    a = stepper.step()
+    assert a.shape == (32, 32, 3) and a.dtype == np.uint8
+    stepper.move("forward", 0.1)
+    stepper.look(5.0, 0.0)
+    b = stepper.step()
+    assert stepper.frame == 2
+    assert not np.array_equal(a, b)  # camera moved
+    assert np.isfinite(stepper.last_ms)
+
+
+def test_toggle_denoising_with_checkpoint(tmp_path):
+    """TAB semantics: toggling switches the display path through the CNN."""
+    model = DenoiseCNN(widths=(8, 16))
+    state = create_state(jax.random.key(0), model, (32, 32, 14))
+    save_checkpoint(str(tmp_path), state, model)
+
+    stepper = FrameStepper(
+        cornell_box(), Camera.create(), CFG, denoising=False,
+        checkpoint=str(tmp_path),
+    )
+    raw = stepper.step()
+    stepper.toggle_denoising()
+    assert stepper.denoising
+    denoised = stepper.step()
+    assert denoised.shape == raw.shape
+    assert not np.array_equal(raw, denoised)
+
+
+def test_run_interactive_writes_frames(tmp_path, capsys):
+    out_dir = str(tmp_path / "frames")
+    stepper = run_interactive(
+        cornell_box(), Camera.create(), CFG, max_frames=3, out_dir=out_dir
+    )
+    assert stepper.frame == 3
+    files = sorted(os.listdir(out_dir))
+    assert files == ["frame_00000.bmp", "frame_00001.bmp", "frame_00002.bmp"]
+    assert "fps" in capsys.readouterr().out

@@ -1,0 +1,87 @@
+"""SPMD tests on the virtual 8-device CPU mesh (tiles x samples).
+
+Gate (SURVEY.md §7 M6): sharded renders are bit-stable vs single-chip (up
+to float reassociation in the merges), for every mesh factorization.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pathtrace_tpu import Camera, RenderConfig, cornell_box
+from pathtrace_tpu.grad import render_loss_grads
+from pathtrace_tpu.parallel import make_mesh, render_aovs_sharded, sharded_loss_grads
+from pathtrace_tpu.parallel.shard import render_channels_sharded
+from pathtrace_tpu.render import render_channels
+
+CFG = RenderConfig(width=64, height=64, spp=8, backend="jnp", seed=2)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    return cornell_box(), Camera.create()
+
+
+@pytest.mark.parametrize("tiles,samples", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_sharded_matches_single_chip(setup, tiles, samples):
+    scene, cam = setup
+    mesh = make_mesh(tiles=tiles, samples=samples)
+    ref = np.asarray(render_channels(scene, cam, CFG))
+    out = np.asarray(render_channels_sharded(scene, cam, CFG, mesh))
+    assert out.shape == ref.shape
+    # Mean channels: identical lattice, different reduction order.
+    np.testing.assert_allclose(out[..., :10], ref[..., :10], rtol=1e-4, atol=1e-4)
+    # Variance channels: Chan merges reassociate; compare with scaled tol.
+    for c in range(10, 14):
+        scale = max(np.abs(ref[..., c]).max(), 1e-3)
+        np.testing.assert_allclose(
+            out[..., c] / scale, ref[..., c] / scale, atol=2e-3
+        )
+
+
+def test_mesh_factorization_requires_divisibility(setup):
+    scene, cam = setup
+    mesh = make_mesh(tiles=8, samples=1)
+    bad = RenderConfig(width=64, height=60, spp=8, backend="jnp")
+    with pytest.raises(ValueError, match="not divisible"):
+        render_channels_sharded(scene, cam, bad, mesh)
+
+
+def test_make_mesh_shapes():
+    m = make_mesh()
+    assert m.shape == {"tiles": 8, "samples": 1}
+    m2 = make_mesh(samples=4)
+    assert m2.shape == {"tiles": 2, "samples": 4}
+    with pytest.raises(ValueError):
+        make_mesh(tiles=3)
+
+
+def test_sharded_grads_match_single_chip(setup):
+    scene, cam = setup
+    cfg = RenderConfig(width=32, height=32, spp=4, backend="jnp", seed=2)
+    target = jnp.zeros((32, 32, 3), jnp.float32)
+    mesh = make_mesh(tiles=4, samples=2)
+    loss_s, (ds_s, dc_s) = sharded_loss_grads(scene, cam, cfg, mesh, target)
+    loss_r, (ds_r, dc_r) = render_loss_grads(scene, cam, cfg, target=target)
+    np.testing.assert_allclose(float(loss_s), float(loss_r), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ds_s.color), np.asarray(ds_r.color), rtol=1e-3, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(ds_s.emission), np.asarray(ds_r.emission), rtol=1e-3, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(dc_s.position), np.asarray(dc_r.position), rtol=2e-3, atol=1e-7
+    )
+
+
+def test_sharded_loss_same_on_all_shards(setup):
+    """The loss out-spec P() asserts replication; value must be finite."""
+    scene, cam = setup
+    cfg = RenderConfig(width=32, height=32, spp=8, backend="jnp")
+    mesh = make_mesh(tiles=2, samples=4)
+    target = jnp.zeros((32, 32, 3), jnp.float32)
+    loss, _ = sharded_loss_grads(scene, cam, cfg, mesh, target)
+    assert np.isfinite(float(loss))

@@ -1,0 +1,121 @@
+"""Trainer tests: loss descent, plateau scheduler, checkpoint/resume,
+dataset assembly, end-to-end denoising inference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pathtrace_tpu import Camera, RenderConfig, cornell_box
+from pathtrace_tpu.models.denoise_cnn import DenoiseCNN
+from pathtrace_tpu.train import (
+    BASE_LR,
+    PLATEAU_PATIENCE,
+    build_dataset,
+    create_state,
+    eval_step,
+    fit,
+    load_checkpoint,
+    plateau_update,
+    save_checkpoint,
+    train_step,
+)
+
+TINY = DenoiseCNN(widths=(8, 16))
+
+
+@pytest.fixture(scope="module")
+def tiny_data():
+    rng = np.random.default_rng(0)
+    x = rng.uniform(size=(10, 32, 32, 14)).astype(np.float32)
+    # Learnable target: clipped product resembling the model's output form.
+    y = np.clip(x[..., 0:3] * (0.00316 + x[..., 6:9]), 0, 1).astype(np.float32)
+    return x, y
+
+
+def test_train_step_descends(tiny_data):
+    x, y = tiny_data
+    state = create_state(jax.random.key(0), TINY, (32, 32, 14))
+    state, first = train_step(TINY, state, jnp.asarray(x[:5]), jnp.asarray(y[:5]))
+    losses = [float(first)]
+    for _ in range(30):
+        state, loss = train_step(TINY, state, jnp.asarray(x[:5]), jnp.asarray(y[:5]))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.9
+
+
+def test_plateau_scheduler():
+    state = create_state(jax.random.key(0), TINY, (16, 16, 14))
+    assert float(state.lr) == pytest.approx(BASE_LR)
+    state = plateau_update(state, jnp.asarray(1.0))  # improves (from inf)
+    assert int(state.plateau_count) == 0
+    for _ in range(PLATEAU_PATIENCE + 1):
+        state = plateau_update(state, jnp.asarray(1.0))  # no improvement
+    assert float(state.lr) == pytest.approx(BASE_LR * 0.5)
+    assert int(state.plateau_count) == 0  # reset after reduction
+
+
+def test_eval_psnr(tiny_data):
+    x, y = tiny_data
+    state = create_state(jax.random.key(0), TINY, (32, 32, 14))
+    out, loss, psnr = eval_step(TINY, state, jnp.asarray(x[:2]), jnp.asarray(y[:2]))
+    assert out.shape == (2, 32, 32, 3)
+    # PSNR from the L1 criterion — the reference's quirk (train.py:43).
+    np.testing.assert_allclose(
+        float(psnr), 10 * np.log10(1 / float(loss)), rtol=1e-5
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path, tiny_data):
+    x, y = tiny_data
+    state = create_state(jax.random.key(0), TINY, (32, 32, 14))
+    state, _ = train_step(TINY, state, jnp.asarray(x[:5]), jnp.asarray(y[:5]))
+    save_checkpoint(str(tmp_path), state, TINY)
+    # load_checkpoint builds the full-size default model template only if
+    # the checkpoint came from one; here restore against the same shapes.
+    import orbax.checkpoint as ocp
+
+    model2, restored = None, None
+    from pathtrace_tpu.train import TrainState
+
+    template = create_state(jax.random.key(1), TINY, (32, 32, 14))
+    ckptr = ocp.StandardCheckpointer()
+    payload = {
+        "params": template.params,
+        "batch_stats": template.batch_stats,
+        "opt_state": template.opt_state,
+        "lr": template.lr,
+        "best_loss": template.best_loss,
+        "plateau_count": template.plateau_count,
+        "epoch": template.epoch,
+    }
+    restored = TrainState(
+        **ckptr.restore(str(tmp_path / "model_epoch"), target=payload)
+    )
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Resumed training continues bit-compatibly.
+    s1, l1 = train_step(TINY, state, jnp.asarray(x[:5]), jnp.asarray(y[:5]))
+    s2, l2 = train_step(TINY, restored, jnp.asarray(x[:5]), jnp.asarray(y[:5]))
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+
+def test_fit_loop(tiny_data):
+    x, y = tiny_data
+    state = create_state(jax.random.key(0), TINY, (32, 32, 14))
+    state, history = fit(TINY, state, x, y, epochs=3, batch_size=5, log_every=0)
+    assert len(history) == 3
+    assert int(state.epoch) == 3
+
+
+def test_build_dataset_from_renders():
+    scene = cornell_box()
+    cfg = RenderConfig(width=48, height=48, spp=1, backend="jnp")
+    inputs, targets = build_dataset(
+        scene, cfg, n_poses=2, patch_size=16, patches_per_image=3,
+        spp_train=1, spp_gt=2, seed=1,
+    )
+    assert inputs.shape == (6, 16, 16, 14)
+    assert targets.shape == (6, 16, 16, 3)
+    assert np.isfinite(inputs).all() and np.isfinite(targets).all()
+    assert targets.min() >= 0 and targets.max() <= 1
