@@ -88,3 +88,41 @@ def load_poses(path: str) -> np.ndarray:
     """Camera-pose list file (whitespace table, one pose per row) — the
     ``--list`` input of collect_data.py:28."""
     return np.loadtxt(path, ndmin=2)
+
+
+def main(argv=None) -> int:
+    """CLI parity with the reference's collect_data.py (flags
+    ``--list/--samples-train/--samples-gt``, ``data/`` output layout) —
+    minus its subprocess spawning: rendering happens in-process."""
+    import argparse
+
+    from pathtrace_tpu.scene import cornell_box
+
+    p = argparse.ArgumentParser(description="Collect denoiser training data")
+    p.add_argument("--list", type=str, required=True,
+                   help="File with list of camera positions to render")
+    p.add_argument("--samples-train", type=int, default=2,
+                   help="Samples per pixel for training images")
+    p.add_argument("--samples-gt", type=int, default=20000,
+                   help="Samples per pixel for ground truth images")
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--out", type=str, default="data")
+    args = p.parse_args(argv)
+
+    poses = load_poses(args.list)
+    scene = cornell_box()
+    cfg = RenderConfig(width=args.size, height=args.size, spp=2, backend="auto")
+    collect_dataset(
+        scene,
+        [tuple(map(float, row)) for row in poses],
+        cfg,
+        spp_train=args.samples_train,
+        spp_gt=args.samples_gt,
+        save_dir=args.out,
+    )
+    print(f"wrote {len(poses)} train/gt EXR pairs to {args.out}/")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -14,12 +14,13 @@ import struct
 import numpy as np
 
 
-def write_bmp(path, image: np.ndarray):
+def write_bmp(path, image: np.ndarray, backend: str = "auto"):
     """Write [H, W, 3] or [H, W] uint8/float data as a 24-bit BMP.
 
     Float inputs are mapped with clamp(255*v); single-channel input is
     replicated to grey RGB. Rows are stored bottom-up, BGR, 4-byte aligned
-    (the standard layout stb produces).
+    (the standard layout stb produces). backend "auto" prefers the native
+    C++ writer when built (byte-identical output).
     """
     img = np.asarray(image)
     if img.ndim == 2:
@@ -28,6 +29,14 @@ def write_bmp(path, image: np.ndarray):
         img = np.repeat(img, 3, axis=-1)
     if img.dtype != np.uint8:
         img = np.clip(255.0 * img.astype(np.float64), 0, 255).astype(np.uint8)
+    if backend in ("auto", "native"):
+        from pathtrace_tpu.io import native
+
+        if native.available():
+            native.write_bmp_native(path, img)
+            return
+        if backend == "native":
+            raise RuntimeError("native IO library unavailable")
     h, w, _ = img.shape
 
     row_size = (w * 3 + 3) & ~3

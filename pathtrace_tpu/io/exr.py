@@ -90,12 +90,28 @@ def _chlist(names) -> bytes:
     return out + b"\0"
 
 
-def write_exr(path, channels: Mapping[str, np.ndarray], compression: str = "zip"):
+def write_exr(
+    path,
+    channels: Mapping[str, np.ndarray],
+    compression: str = "zip",
+    backend: str = "auto",
+):
     """Write a single-part scanline EXR of FLOAT channels.
 
     channels: name -> [H, W] float array (all same shape). Channels are
     stored in alphabetical order as the spec requires.
+
+    backend: "auto" uses the native C++ library when available (byte-
+    compatible, faster compression); "python"/"native" force one.
     """
+    if backend in ("auto", "native"):
+        from pathtrace_tpu.io import native
+
+        if native.available():
+            native.write_exr_native(path, channels, compression=compression)
+            return
+        if backend == "native":
+            raise RuntimeError("native IO library unavailable")
     names = sorted(channels.keys())
     planes = [np.ascontiguousarray(np.asarray(channels[n], np.float32)) for n in names]
     h, w = planes[0].shape
@@ -161,13 +177,22 @@ def _read_null_str(buf: bytes, pos: int):
     return buf[pos:end].decode(), end + 1
 
 
-def read_exr(path) -> Dict[str, np.ndarray]:
+def read_exr(path, backend: str = "auto") -> Dict[str, np.ndarray]:
     """Read a single-part scanline EXR into name -> [H, W] f32 arrays.
 
     Supports FLOAT/HALF/UINT channels and NONE/ZIPS/ZIP compression —
     enough to read anything this framework (or the reference pipeline)
-    writes.
+    writes. backend as in ``write_exr``.
     """
+    if backend in ("auto", "native"):
+        from pathtrace_tpu.io import native
+
+        if native.available():
+            out = native.read_exr_native(path)
+            if out is not None:
+                return out
+        if backend == "native":
+            raise RuntimeError("native IO library unavailable")
     with open(path, "rb") as f:
         buf = f.read()
     magic, version = struct.unpack_from("<ii", buf, 0)

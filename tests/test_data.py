@@ -55,10 +55,19 @@ def test_render_pair_and_exr_export(tmp_path):
     scene = cornell_box()
     cfg = RenderConfig(width=24, height=24, spp=1, backend="jnp")
     pose = (50.0, 52.0, 295.6, -90.0, 0.0)
-    noisy, gt = render_pair(scene, pose, cfg, spp_train=1, spp_gt=2)
+    noisy, gt = render_pair(scene, pose, cfg, spp_train=2, spp_gt=16)
     assert noisy.shape == (24, 24, 14) and gt.shape == (24, 24, 14)
-    # gt uses more samples -> lower color variance on average
-    assert gt[..., 10].mean() <= noisy[..., 10].mean() + 1e-3
+    # gt uses more samples -> its color MEAN is less noisy; compare both
+    # against a high-spp reference of the same pose.
+    from pathtrace_tpu.camera import Camera as Cam
+    import dataclasses as dc
+
+    ref = np.asarray(
+        render_pair(scene, pose, cfg, spp_train=2, spp_gt=64)[1][..., 0:3]
+    )
+    err_noisy = np.abs(noisy[..., 0:3] - ref).mean()
+    err_gt = np.abs(gt[..., 0:3] - ref).mean()
+    assert err_gt < err_noisy
 
     collect_dataset(scene, [pose], cfg, spp_train=1, spp_gt=2,
                     save_dir=str(tmp_path))
