@@ -46,6 +46,7 @@ def main() -> int:
         args.size, args.spp = 128, 4
 
     import jax
+    import jax.numpy as jnp
 
     from pathtrace_tpu import Camera, RenderConfig, cornell_box
     from pathtrace_tpu.utils.timing import mrays_per_sec, time_fn
@@ -54,6 +55,22 @@ def main() -> int:
     scene = cornell_box()
     cam = Camera.create()
     n_rays = args.size * args.size * args.spp * args.bounces
+
+    # Over the axon tunnel each dispatch costs ~10-20 ms of RPC latency;
+    # chain K frames inside ONE jit (data-dependent accumulator) so the
+    # measurement reflects device time, then divide.
+    k_frames = 4 if args.quick else 12
+
+    def per_frame_seconds(frame_scalar_fn):
+        @jax.jit
+        def multi(scene_, cam_, frame0):
+            def body(i, acc):
+                return acc + frame_scalar_fn(scene_, cam_, frame0 + i)
+
+            return jax.lax.fori_loop(0, k_frames, body, 0.0)
+
+        secs, _ = time_fn(multi, scene, cam, 0, warmup=1, iters=2)
+        return secs / k_frames
 
     extras = {}
 
@@ -65,9 +82,8 @@ def main() -> int:
             width=args.size, height=args.size, spp=args.spp,
             max_bounces=args.bounces, backend="pallas",
         )
-        secs, _ = time_fn(
-            lambda f: render_channels_pallas(scene, cam, cfg, f),
-            0, warmup=1, iters=3,
+        secs = per_frame_seconds(
+            lambda s, c, f: render_channels_pallas(s, c, cfg, f)[0, 0, 0]
         )
         headline = mrays_per_sec(args.size, args.size, args.spp, args.bounces, secs)
         extras["pallas_fwd_ms"] = secs * 1e3
@@ -82,8 +98,8 @@ def main() -> int:
         width=args.size, height=args.size, spp=args.spp,
         max_bounces=args.bounces, backend="jnp", spp_chunk=spp_chunk,
     )
-    secs_jnp, _ = time_fn(
-        lambda f: render_channels(scene, cam, cfg_jnp, f), 0, warmup=1, iters=3
+    secs_jnp = per_frame_seconds(
+        lambda s, c, f: render_channels(s, c, cfg_jnp, f)[0, 0, 0]
     )
     extras["jnp_fwd_mrays"] = mrays_per_sec(
         args.size, args.size, args.spp, args.bounces, secs_jnp
@@ -93,18 +109,16 @@ def main() -> int:
 
     # -- jnp forward+backward (pixel-loss grads w.r.t. scene+camera) --------
     if not args.no_grad:
-        try:
-            from pathtrace_tpu.grad import render_loss_grads
+        from pathtrace_tpu.grad import render_loss_grads
 
-            secs_g, _ = time_fn(
-                lambda f: render_loss_grads(scene, cam, cfg_jnp, f),
-                0, warmup=1, iters=3,
-            )
-            extras["fwd_bwd_mrays"] = mrays_per_sec(
-                args.size, args.size, args.spp, args.bounces, secs_g
-            )
-        except ImportError:
-            pass
+        def grad_scalar(s, c, f):
+            loss, (d_scene, _) = render_loss_grads(s, c, cfg_jnp, f)
+            return loss + jnp.sum(d_scene.color)
+
+        secs_g = per_frame_seconds(grad_scalar)
+        extras["fwd_bwd_mrays"] = mrays_per_sec(
+            args.size, args.size, args.spp, args.bounces, secs_g
+        )
 
     prior = _prior_value()
     result = {

@@ -152,8 +152,15 @@ def _pathtrace_kernel(
         hit0 = jnp.zeros(shape, bool)
 
         for bounce in range(max_bounces):
-            inv_len = jax.lax.rsqrt(_dot3(dx, dy, dz, dx, dy, dz))
-            dnx, dny, dnz = dx * inv_len, dy * inv_len, dz * inv_len
+            if bounce == 0:
+                # Primary rays are unnormalized (reference depth convention).
+                inv_len = jax.lax.rsqrt(_dot3(dx, dy, dz, dx, dy, dz))
+                dnx, dny, dnz = dx * inv_len, dy * inv_len, dz * inv_len
+            else:
+                # Bounce directions are unit by construction (orthonormal
+                # sampling frame): skip the rsqrt and the t rescale.
+                inv_len = None
+                dnx, dny, dnz = dx, dy, dz
 
             t_best = jnp.full(shape, T_BIG)
             hit = jnp.zeros(shape, bool)
@@ -172,8 +179,12 @@ def _pathtrace_kernel(
                 d2 = _dot3(qx, qy, qz, qx, qy, qz)
                 det = rad * rad - d2
                 thc = jnp.sqrt(jnp.maximum(det, 0.0))
-                t_near = (tca - thc) * inv_len
-                t_far = (tca + thc) * inv_len
+                if inv_len is None:
+                    t_near = tca - thc
+                    t_far = tca + thc
+                else:
+                    t_near = (tca - thc) * inv_len
+                    t_far = (tca + thc) * inv_len
                 t = jnp.where(t_near > 0.0, t_near, t_far)
                 valid = (det >= 0.0) & (t > 0.0) & (t < T_BIG)
                 closer = valid & (t < t_best)
@@ -238,19 +249,19 @@ def _pathtrace_kernel(
                 o1z = jnp.where(use_a, 0.0, ny_)
                 o1_inv = jax.lax.rsqrt(_dot3(o1x, o1y, o1z, o1x, o1y, o1z) + 1e-20)
                 o1x, o1y, o1z = o1x * o1_inv, o1y * o1_inv, o1z * o1_inv
+                # n x o1 of unit orthogonal vectors is unit; the sampled
+                # direction from an orthonormal frame is unit — skip both
+                # re-normalizations (pure rounding correction, ~1e-7).
                 o2x = ny_ * o1z - nz_ * o1y
                 o2y = nz_ * o1x - nx_ * o1z
                 o2z = nx_ * o1y - ny_ * o1x
-                o2_inv = jax.lax.rsqrt(_dot3(o2x, o2y, o2z, o2x, o2y, o2z) + 1e-20)
-                o2x, o2y, o2z = o2x * o2_inv, o2y * o2_inv, o2z * o2_inv
                 phi = u1 * TWO_PI
                 zc = jnp.sqrt(u2)  # power=1 cosine weighting
                 sin_t = jnp.sqrt(jnp.maximum(1.0 - zc * zc, 0.0))
-                cp, sp = jnp.cos(phi), jnp.sin(phi)
-                bdx = cp * sin_t * o1x + sp * sin_t * o2x + zc * nx_
-                bdy = cp * sin_t * o1y + sp * sin_t * o2y + zc * ny_
-                bdz = cp * sin_t * o1z + sp * sin_t * o2z + zc * nz_
-                b_inv = jax.lax.rsqrt(_dot3(bdx, bdy, bdz, bdx, bdy, bdz) + 1e-20)
+                cs, ss = jnp.cos(phi) * sin_t, jnp.sin(phi) * sin_t
+                bdx = cs * o1x + ss * o2x + zc * nx_
+                bdy = cs * o1y + ss * o2y + zc * ny_
+                bdz = cs * o1z + ss * o2z + zc * nz_
 
                 n_ox = hx + nx_ * push
                 n_oy = hy + ny_ * push
@@ -258,9 +269,9 @@ def _pathtrace_kernel(
                 ox = jnp.where(hit_now, n_ox, ox)
                 oy = jnp.where(hit_now, n_oy, oy)
                 oz = jnp.where(hit_now, n_oz, oz)
-                dx = jnp.where(hit_now, bdx * b_inv, dx)
-                dy = jnp.where(hit_now, bdy * b_inv, dy)
-                dz = jnp.where(hit_now, bdz * b_inv, dz)
+                dx = jnp.where(hit_now, bdx, dx)
+                dy = jnp.where(hit_now, bdy, dy)
+                dz = jnp.where(hit_now, bdz, dz)
 
             active = active & hit
 

@@ -85,3 +85,16 @@ def test_sharded_loss_same_on_all_shards(setup):
     target = jnp.zeros((32, 32, 3), jnp.float32)
     loss, _ = sharded_loss_grads(scene, cam, cfg, mesh, target)
     assert np.isfinite(float(loss))
+
+
+def test_scaling_harness_runs(setup):
+    """Functional check of the efficiency measurement machinery on the CPU
+    mesh (hardware claims need real chips; this validates the harness)."""
+    from pathtrace_tpu.parallel.scaling import measure_scaling
+
+    scene, cam = setup
+    cfg = RenderConfig(width=32, height=32, spp=2, backend="jnp", max_bounces=2)
+    results = measure_scaling(scene, cam, cfg, device_counts=[1, 2], iters=1)
+    assert [r["devices"] for r in results] == [1, 2]
+    assert results[0]["efficiency"] == 1.0
+    assert all(r["seconds"] > 0 and r["mrays"] > 0 for r in results)
