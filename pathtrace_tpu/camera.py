@@ -177,6 +177,20 @@ class Camera:
             pitch = jnp.clip(pitch, -89.0, 89.0)
         return dataclasses.replace(self, yaw=yaw, pitch=pitch)
 
+    @staticmethod
+    def scroll_zoom(zoom: float, y_offset: float) -> float:
+        """Mouse-wheel zoom clamped to [1, 45] (Camera.h:116-123).
+        Faithfully useless: the reference's ray basis hard-codes a 45-deg
+        fov (Camera.h:130) and never reads Zoom — preserved as-is."""
+        if 1.0 <= zoom <= 45.0:
+            zoom -= y_offset
+        return min(max(zoom, 1.0), 45.0)
+
+    def pose_string(self) -> str:
+        """The SPACE-key camera dump (Window.h:155-158): x y z yaw pitch."""
+        p = [float(v) for v in self.position]
+        return f"{p[0]} {p[1]} {p[2]} {float(self.yaw)} {float(self.pitch)}"
+
 
 def pixel_ndc(rows, cols, width: int, height: int):
     """Image pixel coordinates -> NDC.

@@ -84,6 +84,70 @@ def intersect_spheres(origin, direction, radius, position):
     return t, valid
 
 
+class SelectedHit(NamedTuple):
+    """Nearest-hit data with the winning sphere's parameters gathered.
+
+    hit: [...] bool; t: [...] f32; center/emission/color: [..., 3].
+    Differentiable in scene parameters through the selected values; the
+    selection itself (boolean where-masks) is discrete and carries no
+    gradient — identical estimator to the one-hot form.
+    """
+
+    hit: jnp.ndarray
+    t: jnp.ndarray
+    center: jnp.ndarray
+    emission: jnp.ndarray
+    color: jnp.ndarray
+
+
+def intersect_scene_select(origin, direction, scene) -> SelectedHit:
+    """Nearest hit via an unrolled running-min loop over spheres.
+
+    Semantically identical to ``intersect_scene`` + parameter gathers, but
+    every intermediate stays at ray-batch size — no ``[..., N, 3]``
+    materialization. For the 9-sphere scene this cuts the differentiable
+    path's HBM traffic ~an order of magnitude (the batched form is kept as
+    the oracle and for shadow rays). First-wins strict-< tie behaviour is
+    preserved (later spheres replace only when strictly closer,
+    ``pathtrace.cu:94-105``).
+    """
+    inv_len = jax.lax.rsqrt(jnp.sum(direction * direction, axis=-1))
+    dn = direction * inv_len[..., None]
+    batch_shape = direction.shape[:-1]
+    zeros = jnp.zeros(batch_shape, direction.dtype)
+    zeros3 = jnp.zeros(batch_shape + (3,), direction.dtype)
+
+    t_best = jnp.full(batch_shape, T_MAX, direction.dtype)
+    hit = jnp.zeros(batch_shape, bool)
+    center = zeros3
+    emission = zeros3
+    color = zeros3
+
+    for i in range(scene.num_objects):
+        rel = scene.position[i] - origin  # [..., 3]
+        tca = jnp.sum(rel * dn, axis=-1)
+        perp = rel - tca[..., None] * dn
+        d2 = jnp.sum(perp * perp, axis=-1)
+        det = scene.radius[i] * scene.radius[i] - d2
+        pos_det = det > 0.0
+        thc = jnp.where(pos_det, jnp.sqrt(jnp.where(pos_det, det, 1.0)), 0.0)
+        t_near = (tca - thc) * inv_len
+        t_far = (tca + thc) * inv_len
+        t = jnp.where(t_near > 0.0, t_near, t_far)
+        valid = (det >= 0.0) & (t > 0.0) & (t < T_MAX)
+        closer = valid & (t < t_best)
+        t_best = jnp.where(closer, t, t_best)
+        hit = hit | closer
+        c3 = closer[..., None]
+        center = jnp.where(c3, jnp.broadcast_to(scene.position[i], center.shape), center)
+        emission = jnp.where(
+            c3, jnp.broadcast_to(scene.emission[i], emission.shape), emission
+        )
+        color = jnp.where(c3, jnp.broadcast_to(scene.color[i], color.shape), color)
+    del zeros
+    return SelectedHit(hit=hit, t=t_best, center=center, emission=emission, color=color)
+
+
 def intersect_scene(origin, direction, scene) -> SceneHit:
     """Nearest hit over all spheres of ``scene`` for rays [..., 3]."""
     t, valid = intersect_spheres(origin, direction, scene.radius, scene.position)

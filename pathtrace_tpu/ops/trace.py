@@ -27,7 +27,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from pathtrace_tpu.ops.intersect import intersect_scene
+from pathtrace_tpu.ops.intersect import intersect_scene_select
 from pathtrace_tpu.ops.sampling import cosine_weighted_direction
 
 
@@ -94,13 +94,15 @@ def trace_paths(
     ray_o, ray_d = origin, direction
 
     for n in range(max_bounces):
-        hitdata = intersect_scene(ray_o, ray_d, scene)
+        # Running-min select loop: every intermediate stays at ray-batch
+        # size; the winning sphere's parameters arrive pre-gathered
+        # (differentiably), the selection itself is detached.
+        hitdata = intersect_scene_select(ray_o, ray_d, scene)
         hit_now = active & hitdata.hit
 
-        # Differentiable per-sphere gathers through the detached selector.
-        sphere_pos = hitdata.one_hot @ scene.position  # [..., 3]
-        emission = hitdata.one_hot @ scene.emission
-        obj_color = hitdata.one_hot @ scene.color
+        sphere_pos = hitdata.center
+        emission = hitdata.emission
+        obj_color = hitdata.color
 
         pos = ray_o + ray_d * hitdata.t[..., None]
         normal_out = _normalize(pos - sphere_pos)

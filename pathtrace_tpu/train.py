@@ -248,10 +248,13 @@ def fit(
     log_every: int = 10,
     ckpt_dir=None,
     ckpt_every: int = 50,
+    val=None,
     logger=print,
 ):
-    """Epoch loop: shuffle, minibatch SGD, plateau LR, periodic checkpoint.
-    Returns (state, history)."""
+    """Epoch loop: shuffle, minibatch SGD, plateau LR; every ``ckpt_every``
+    epochs checkpoint + (if ``val=(vx, vy)`` given) validate with PSNR and
+    dump ``{epoch}_gt`` / ``{epoch}_out`` preview images — the reference's
+    50-epoch cadence (train.py:110-119). Returns (state, history)."""
     rng = np.random.default_rng(seed)
     n = inputs.shape[0]
     history = []
@@ -273,6 +276,25 @@ def fit(
             logger(f"===> Epoch {epoch} Complete: Avg. Loss: {avg:.7f}")
         if ckpt_dir and epoch % ckpt_every == 0:
             save_checkpoint(ckpt_dir, state, model)
+            if val is not None:
+                vx, vy = val
+                out, vloss, psnr = eval_step(
+                    model, state, jnp.asarray(vx), jnp.asarray(vy)
+                )
+                logger(
+                    f"===> Avg. Loss: {float(vloss):.7f}, "
+                    f"Avg. PSNR: {float(psnr):.4f} dB"
+                )
+                from pathtrace_tpu.io.bmp import write_bmp
+
+                write_bmp(
+                    os.path.join(ckpt_dir, f"{epoch}_gt.bmp"),
+                    np.clip(np.asarray(vy[0]), 0, 1),
+                )
+                write_bmp(
+                    os.path.join(ckpt_dir, f"{epoch}_out.bmp"),
+                    np.clip(np.asarray(out[0]), 0, 1),
+                )
     return state, history
 
 

@@ -17,9 +17,12 @@ def test_checked_render_passes_on_valid_scene(scene, camera):
 
 
 def test_checked_render_catches_nan_scene(camera):
+    # NaN emission propagates into color. (A NaN *position* is actually
+    # benign: NaN comparisons are False, so the running-min intersect
+    # treats that sphere as a miss.)
     scene = cornell_box()
-    bad = scene.replace(position=scene.position.at[0, 0].set(jnp.nan))
-    cfg = RenderConfig(width=8, height=8, spp=1, backend="jnp")
+    bad = scene.replace(emission=scene.emission.at[8, 0].set(jnp.nan))
+    cfg = RenderConfig(width=16, height=16, spp=2, backend="jnp")
     err, _ = checked_render(bad, camera, cfg)
     with pytest.raises(Exception, match="non-finite"):
         err.throw()

@@ -95,3 +95,28 @@ def test_batched_preprocess():
     buf = jnp.ones((2, 8, 8, 14))
     out = preprocess_channels(buf)
     assert out.shape == (2, 8, 8, 14)
+
+
+def test_simple_cnn_baseline():
+    """The TF-experiment analog: resolution-preserving plain conv net
+    trains with summed-L1 + Adam."""
+    import jax.numpy as jnp
+
+    from pathtrace_tpu.models.simple_cnn import (
+        create_simple_state,
+        simple_train_step,
+    )
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(size=(2, 32, 32, 14)), jnp.float32)
+    y = jnp.asarray(x[..., :3] * 0.5)
+    model, params, opt_state, _ = create_simple_state(
+        jax.random.key(0), (32, 32, 14)
+    )
+    out = model.apply({"params": params}, x)
+    assert out.shape == (2, 32, 32, 3)
+    losses = []
+    for _ in range(20):
+        params, opt_state, loss = simple_train_step(model, params, opt_state, x, y)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
