@@ -90,6 +90,21 @@ def main() -> int:
     else:
         headline = None
 
+    # -- Pallas forward+backward (emission/albedo product-chain kernel) -----
+    if backend in ("tpu", "axon") and not args.no_grad:
+        from pathtrace_tpu.ops.pallas_grad import pallas_loss_and_grads
+
+        target0 = jnp.zeros((args.size, args.size, 3), jnp.float32)
+
+        def pallas_grad_scalar(s, c, f):
+            loss, (d_scene, _) = pallas_loss_and_grads(s, c, cfg, f, target0)
+            return loss + jnp.sum(d_scene.emission)
+
+        secs_pg = per_frame_seconds(pallas_grad_scalar)
+        extras["pallas_fwd_bwd_mrays"] = mrays_per_sec(
+            args.size, args.size, args.spp, args.bounces, secs_pg
+        )
+
     # -- jnp (differentiable oracle) forward --------------------------------
     from pathtrace_tpu.render import render_channels
 

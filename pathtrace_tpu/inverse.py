@@ -60,19 +60,48 @@ def make_inverse_step(
     tx = optax.adam(learning_rate)
     init_params = {name: getattr(base_scene, name) for name in optimize}
 
+    # All-Pallas fast path: the hand-derived product-chain backward kernel
+    # covers emission/albedo (geometry grads are exactly zero for the pure
+    # emission-gathering estimator — grad.py docs), so when only those are
+    # optimized and NEE is off the whole step runs as TPU megakernels.
+    use_pallas = (
+        cfg.backend == "pallas"
+        and not cfg.nee
+        and set(optimize) <= {"color", "emission"}
+    )
+
     @jax.jit
     def step_fn(state: InverseState):
-        def loss_fn(params):
-            scene = _apply_params(base_scene, params)
-            # Cross-estimator: two INDEPENDENT renders A, B give
-            # E[(A-T)(B-T)] = ||E[render]-T||^2 with no Var(render) term.
-            # Plain L2 on one noisy render is biased toward darker scenes
-            # (it also minimizes the Monte Carlo variance).
-            a = render_color(scene, cam, cfg, frame=2 * state.step)
-            b = render_color(scene, cam, cfg, frame=2 * state.step + 1)
-            return jnp.mean((a - target) * (b - target))
+        # Cross-estimator: two INDEPENDENT renders A, B give
+        # E[(A-T)(B-T)] = ||E[render]-T||^2 with no Var(render) term.
+        # Plain L2 on one noisy render is biased toward darker scenes
+        # (it also minimizes the Monte Carlo variance).
+        if use_pallas:
+            from pathtrace_tpu.ops.pallas_grad import pallas_cross_grads
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            scene = _apply_params(base_scene, state.params)
+            loss, d_scene = pallas_cross_grads(scene, cam, cfg, state.step, target)
+            grads = {}
+            for name in optimize:
+                g = d_scene[name]
+                if name == "color":
+                    # Chain through _apply_params' jnp.clip (same edge
+                    # subgradient convention as reverse-mode AD: 0.5 on
+                    # the boundary, 0 outside).
+                    p = state.params["color"]
+                    inside = ((p >= 0.0) & (p <= 1.0)).astype(g.dtype)
+                    edge = ((p == 0.0) | (p == 1.0)).astype(g.dtype)
+                    g = g * (inside - 0.5 * edge)
+                grads[name] = g
+        else:
+
+            def loss_fn(params):
+                scene = _apply_params(base_scene, params)
+                a = render_color(scene, cam, cfg, frame=2 * state.step)
+                b = render_color(scene, cam, cfg, frame=2 * state.step + 1)
+                return jnp.mean((a - target) * (b - target))
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return InverseState(params, opt_state, state.step + 1), loss
@@ -105,7 +134,9 @@ def recover_scene(
     target_cfg = (
         cfg if target_spp is None else dataclasses.replace(cfg, spp=target_spp)
     )
-    target = render_color(true_scene, cam, target_cfg, frame=987654)
+    from pathtrace_tpu.render import render_aovs
+
+    target = render_aovs(true_scene, cam, target_cfg, frame=987654)["color"]
     state, step_fn, _ = make_inverse_step(
         corrupted_scene, cam, cfg, target, optimize, learning_rate
     )

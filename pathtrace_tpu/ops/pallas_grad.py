@@ -1,0 +1,429 @@
+"""Pallas backward pass: color-loss gradients w.r.t. emission and albedo.
+
+The TPU-native reverse sweep pairing ops/pallas_trace.py. Under the
+detached-decision estimator (no NEE), a path's radiance is
+
+    L = sum_n  mask_n * e_{idx_n},   mask_{n+1} = mask_n * c_{idx_n}
+
+— a pure product chain in the hit spheres' emission/albedo; its gradient
+w.r.t. *geometry* (positions, radii, camera) is exactly zero (grad.py
+docs), so the backward kernel needs NO geometry residuals. Each sample's
+trajectory is recomputed from the shared counter-based RNG lattice
+(bit-identical to the forward kernel's — the math below mirrors
+_pathtrace_kernel exactly, including its bounce-0-only inv_len and skipped
+renormalizations), the per-bounce (hit, idx, mask, e, c) tape lives in
+registers across the unrolled bounces, and the reverse recurrence
+
+    gbar_n = hit_n ? g*clamp'*e_n + c_n*gbar_{n+1} : gbar_{n+1}
+    dL/de_{idx_n} += hit_n * mask_n * g * clamp'_n
+    dL/dc_{idx_n} += hit_n * mask_n * gbar_{n+1}
+
+accumulates into per-sphere scalars, reduced across the sequential TPU
+grid into one shared (16, 128) output block (rows = spheres, cols 0-2 =
+d emission, 3-5 = d albedo).
+
+Validation: tests/test_pallas_grad.py checks these against jnp reverse-mode
+AD on the SAME sample lattice.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pathtrace_tpu.config import RenderConfig
+from pathtrace_tpu.ops.pallas_trace import (
+    T_BIG,
+    TWO_PI,
+    _dot3,
+    _mix32,
+    _pack_scene,
+    _round_up,
+    _uniform_01,
+    _P_FRAME,
+    _P_GOLD,
+    _P_ROW,
+)
+
+GRAD_ROWS = 16  # >= num_spheres, sublane-aligned
+GRAD_COLS = 128  # lane-aligned; cols 0-2 d_emission, 3-5 d_color
+
+
+def _color_grad_kernel(
+    scene_ref,  # SMEM [N, 10]
+    cam_ref,  # SMEM [5, 3]
+    seed_ref,  # SMEM [3]: seed, frame, sample offset
+    ct_ref,  # VMEM [3, TH, TW]: dL/d(color sum) per pixel (1/spp folded in)
+    grad_ref,  # VMEM [GRAD_ROWS, GRAD_COLS]: shared accumulator block
+    *,
+    num_spheres: int,
+    spp: int,
+    max_bounces: int,
+    jitter: bool,
+    push: float,
+    tile_h: int,
+    tile_w: int,
+    height: int,
+    width: int,
+):
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    first = (ti == 0) & (tj == 0)
+
+    shape = (tile_h, tile_w)
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + ti * tile_h
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + tj * tile_w
+    rows = rows_i.astype(jnp.float32)
+    cols = cols_i.astype(jnp.float32)
+    pix_key = _mix32(rows_i * _P_GOLD ^ (cols_i * _P_ROW))
+    base_key = _mix32(seed_ref[0] ^ _mix32(seed_ref[1] * _P_FRAME))
+    n_slots = jnp.int32(2 + 2 * max_bounces)
+    sample_offset = seed_ref[2]
+
+    eye_x, eye_y, eye_z = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
+
+    def bilerp_basis(axis, u, v):
+        b00, b10 = cam_ref[1, axis], cam_ref[2, axis]
+        b01, b11 = cam_ref[3, axis], cam_ref[4, axis]
+        bottom = b00 * (1.0 - u) + b10 * u
+        top = b01 * (1.0 - u) + b11 * u
+        return bottom * (1.0 - v) + top * v
+
+    zeros = jnp.zeros(shape, jnp.float32)
+    # Mask out-of-image pad lanes so they contribute nothing.
+    in_image = (rows_i < height) & (cols_i < width)
+    g_r = jnp.where(in_image, ct_ref[0], 0.0)
+    g_g = jnp.where(in_image, ct_ref[1], 0.0)
+    g_b = jnp.where(in_image, ct_ref[2], 0.0)
+
+    def sample_body(s, carry):
+        s_u = sample_offset + s
+
+        def draw(slot):
+            dk = _mix32(base_key ^ ((s_u * n_slots + jnp.int32(slot)) * _P_GOLD))
+            return _uniform_01(pix_key, dk)
+
+        acc = list(carry)
+
+        # -- forward trajectory recompute (mirrors _pathtrace_kernel) ------
+        if jitter:
+            r = rows + (draw(0) - 0.5)
+            c = cols + (draw(1) - 0.5)
+        else:
+            r, c = rows, cols
+        ndc_x = 2.0 * c * (1.0 / width) - 1.0
+        ndc_y = 1.0 - 2.0 * r * (1.0 / height)
+        u = (ndc_x + 1.0) * 0.5
+        v = (ndc_y + 1.0) * 0.5
+        dx = bilerp_basis(0, u, v)
+        dy = bilerp_basis(1, u, v)
+        dz = bilerp_basis(2, u, v)
+        ox = jnp.full(shape, eye_x)
+        oy = jnp.full(shape, eye_y)
+        oz = jnp.full(shape, eye_z)
+
+        mask_r = jnp.ones(shape, jnp.float32)
+        mask_g = jnp.ones(shape, jnp.float32)
+        mask_b = jnp.ones(shape, jnp.float32)
+        active = jnp.ones(shape, bool)
+
+        tape = []  # per bounce: (hit_now, idx, mask_rgb, e_rgb, c_rgb, cm_rgb)
+
+        for bounce in range(max_bounces):
+            if bounce == 0:
+                inv_len = jax.lax.rsqrt(_dot3(dx, dy, dz, dx, dy, dz))
+                dnx, dny, dnz = dx * inv_len, dy * inv_len, dz * inv_len
+            else:
+                inv_len = None
+                dnx, dny, dnz = dx, dy, dz
+
+            t_best = jnp.full(shape, T_BIG)
+            hit = jnp.zeros(shape, bool)
+            s_idx = jnp.zeros(shape, jnp.int32)
+            s_px = s_py = s_pz = zeros
+            s_er = s_eg = s_eb = zeros
+            s_cr = s_cg = s_cb = zeros
+            for i in range(num_spheres):
+                rad = scene_ref[i, 0]
+                px, py, pz = scene_ref[i, 1], scene_ref[i, 2], scene_ref[i, 3]
+                rel_x, rel_y, rel_z = px - ox, py - oy, pz - oz
+                tca = _dot3(rel_x, rel_y, rel_z, dnx, dny, dnz)
+                qx = rel_x - tca * dnx
+                qy = rel_y - tca * dny
+                qz = rel_z - tca * dnz
+                d2 = _dot3(qx, qy, qz, qx, qy, qz)
+                det = rad * rad - d2
+                thc = jnp.sqrt(jnp.maximum(det, 0.0))
+                if inv_len is None:
+                    t_near = tca - thc
+                    t_far = tca + thc
+                else:
+                    t_near = (tca - thc) * inv_len
+                    t_far = (tca + thc) * inv_len
+                t = jnp.where(t_near > 0.0, t_near, t_far)
+                valid = (det >= 0.0) & (t > 0.0) & (t < T_BIG)
+                closer = valid & (t < t_best)
+                t_best = jnp.where(closer, t, t_best)
+                hit = hit | closer
+                s_idx = jnp.where(closer, i, s_idx)
+                s_px = jnp.where(closer, px, s_px)
+                s_py = jnp.where(closer, py, s_py)
+                s_pz = jnp.where(closer, pz, s_pz)
+                s_er = jnp.where(closer, scene_ref[i, 4], s_er)
+                s_eg = jnp.where(closer, scene_ref[i, 5], s_eg)
+                s_eb = jnp.where(closer, scene_ref[i, 6], s_eb)
+                s_cr = jnp.where(closer, scene_ref[i, 7], s_cr)
+                s_cg = jnp.where(closer, scene_ref[i, 8], s_cg)
+                s_cb = jnp.where(closer, scene_ref[i, 9], s_cb)
+
+            hit_now = active & hit
+
+            if bounce == 0:
+                # clamp'(mask*e) matching jnp.clip's subgradient exactly:
+                # 1 inside (0, 1), 0 outside, and 0.5 AT the boundaries
+                # (lax.max/min tie-split — walls with e == 0 land on v == 0
+                # every bounce-0 hit, so this convention is load-bearing).
+                def _clip_grad(v):
+                    inside = ((v >= 0.0) & (v <= 1.0)).astype(jnp.float32)
+                    on_edge = ((v == 0.0) | (v == 1.0)).astype(jnp.float32)
+                    return inside - 0.5 * on_edge
+
+                vr, vg, vb = mask_r * s_er, mask_g * s_eg, mask_b * s_eb
+                cm = (_clip_grad(vr), _clip_grad(vg), _clip_grad(vb))
+            else:
+                cm = None
+            tape.append(
+                (
+                    hit_now,
+                    s_idx,
+                    (mask_r, mask_g, mask_b),
+                    (s_er, s_eg, s_eb),
+                    (s_cr, s_cg, s_cb),
+                    cm,
+                )
+            )
+
+            mask_r = jnp.where(hit_now, mask_r * s_cr, mask_r)
+            mask_g = jnp.where(hit_now, mask_g * s_cg, mask_g)
+            mask_b = jnp.where(hit_now, mask_b * s_cb, mask_b)
+
+            if bounce + 1 < max_bounces:
+                hx = ox + dx * t_best
+                hy = oy + dy * t_best
+                hz = oz + dz * t_best
+                nx_, ny_, nz_ = hx - s_px, hy - s_py, hz - s_pz
+                n_inv = jax.lax.rsqrt(_dot3(nx_, ny_, nz_, nx_, ny_, nz_) + 1e-20)
+                nx_, ny_, nz_ = nx_ * n_inv, ny_ * n_inv, nz_ * n_inv
+                flip = jnp.where(_dot3(nx_, ny_, nz_, dx, dy, dz) < 0.0, 1.0, -1.0)
+                nx_, ny_, nz_ = nx_ * flip, ny_ * flip, nz_ * flip
+
+                u1 = draw(2 + 2 * bounce)
+                u2 = draw(3 + 2 * bounce)
+                use_a = jnp.abs(nx_) > jnp.abs(nz_)
+                o1x = jnp.where(use_a, -ny_, 0.0)
+                o1y = jnp.where(use_a, nx_, -nz_)
+                o1z = jnp.where(use_a, 0.0, ny_)
+                o1_inv = jax.lax.rsqrt(_dot3(o1x, o1y, o1z, o1x, o1y, o1z) + 1e-20)
+                o1x, o1y, o1z = o1x * o1_inv, o1y * o1_inv, o1z * o1_inv
+                o2x = ny_ * o1z - nz_ * o1y
+                o2y = nz_ * o1x - nx_ * o1z
+                o2z = nx_ * o1y - ny_ * o1x
+                phi = u1 * TWO_PI
+                zc = jnp.sqrt(u2)
+                sin_t = jnp.sqrt(jnp.maximum(1.0 - zc * zc, 0.0))
+                cs, ss = jnp.cos(phi) * sin_t, jnp.sin(phi) * sin_t
+                bdx = cs * o1x + ss * o2x + zc * nx_
+                bdy = cs * o1y + ss * o2y + zc * ny_
+                bdz = cs * o1z + ss * o2z + zc * nz_
+                n_ox = hx + nx_ * push
+                n_oy = hy + ny_ * push
+                n_oz = hz + nz_ * push
+                ox = jnp.where(hit_now, n_ox, ox)
+                oy = jnp.where(hit_now, n_oy, oy)
+                oz = jnp.where(hit_now, n_oz, oz)
+                dx = jnp.where(hit_now, bdx, dx)
+                dy = jnp.where(hit_now, bdy, dy)
+                dz = jnp.where(hit_now, bdz, dz)
+
+            active = active & hit
+
+        # -- reverse product-chain sweep -----------------------------------
+        gbar_r = zeros
+        gbar_g = zeros
+        gbar_b = zeros
+        for bounce in range(max_bounces - 1, -1, -1):
+            hit_now, s_idx, (m_r, m_g, m_b), (e_r, e_g, e_b), (c_r, c_g, c_b), cm = tape[bounce]
+            hit_f = hit_now.astype(jnp.float32)
+            if cm is not None:
+                ge_base = (
+                    hit_f * m_r * g_r * cm[0],
+                    hit_f * m_g * g_g * cm[1],
+                    hit_f * m_b * g_b * cm[2],
+                )
+                g_eff = (g_r * cm[0], g_g * cm[1], g_b * cm[2])
+            else:
+                ge_base = (hit_f * m_r * g_r, hit_f * m_g * g_g, hit_f * m_b * g_b)
+                g_eff = (g_r, g_g, g_b)
+            gc_base = (hit_f * m_r * gbar_r, hit_f * m_g * gbar_g, hit_f * m_b * gbar_b)
+            for i in range(num_spheres):
+                sel = (s_idx == i).astype(jnp.float32) * hit_f
+                acc[i * 6 + 0] += jnp.sum(sel * ge_base[0])
+                acc[i * 6 + 1] += jnp.sum(sel * ge_base[1])
+                acc[i * 6 + 2] += jnp.sum(sel * ge_base[2])
+                acc[i * 6 + 3] += jnp.sum(sel * gc_base[0])
+                acc[i * 6 + 4] += jnp.sum(sel * gc_base[1])
+                acc[i * 6 + 5] += jnp.sum(sel * gc_base[2])
+            # gbar_n = hit ? g*clamp'*e + c*gbar : gbar
+            gbar_r = jnp.where(hit_now, g_eff[0] * e_r + c_r * gbar_r, gbar_r)
+            gbar_g = jnp.where(hit_now, g_eff[1] * e_g + c_g * gbar_g, gbar_g)
+            gbar_b = jnp.where(hit_now, g_eff[2] * e_b + c_b * gbar_b, gbar_b)
+
+        return tuple(acc)
+
+    init = (jnp.float32(0.0),) * (num_spheres * 6)
+    acc = jax.lax.fori_loop(0, spp, sample_body, init, unroll=False)
+
+    @pl.when(first)
+    def _():
+        grad_ref[...] = jnp.zeros((GRAD_ROWS, GRAD_COLS), jnp.float32)
+
+    # Sequential grid: accumulate this tile's contribution via a dense add
+    # (scalar scatter into VMEM is slow on TPU; build the update as an
+    # outer-product-free masked broadcast instead).
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (GRAD_ROWS, GRAD_COLS), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (GRAD_ROWS, GRAD_COLS), 1)
+    update = jnp.zeros((GRAD_ROWS, GRAD_COLS), jnp.float32)
+    for i in range(num_spheres):
+        for ch in range(6):
+            update = update + jnp.where(
+                (row_ids == i) & (col_ids == ch), acc[i * 6 + ch], 0.0
+            )
+    grad_ref[...] += update
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def render_color_grads_pallas(
+    scene, cam, cfg: RenderConfig, frame, cotangent, interpret: bool = False
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(d_emission [N, 3], d_color [N, 3]) of L = sum(cotangent * color_mean).
+
+    cotangent: [H, W, 3] pixel cotangents (w.r.t. the spp-averaged color).
+    """
+    tile_h, tile_w = cfg.tile_shape
+    tile_h = max(8, tile_h)
+    tile_w = max(128, _round_up(min(tile_w, cfg.width), 128))
+    pad_h = _round_up(cfg.height, tile_h)
+    pad_w = _round_up(cfg.width, tile_w)
+
+    scene_params = _pack_scene(scene)
+    basis = cam.eye_ray_basis(cfg.width, cfg.height)
+    cam_params = jnp.concatenate([cam.position[None, :], basis], axis=0)
+    seed_arr = jnp.stack(
+        [
+            jnp.asarray(cfg.seed & 0x7FFFFFFF, jnp.int32),
+            jnp.asarray(frame, jnp.int32),
+            jnp.asarray(0, jnp.int32),
+        ]
+    )
+    # Fold the spp average into the cotangent; pad to the tile grid.
+    ct = jnp.moveaxis(cotangent, -1, 0) / cfg.spp  # [3, H, W]
+    ct = jnp.pad(ct, ((0, 0), (0, pad_h - cfg.height), (0, pad_w - cfg.width)))
+
+    grid = (pad_h // tile_h, pad_w // tile_w)
+    kernel = functools.partial(
+        _color_grad_kernel,
+        num_spheres=scene.num_objects,
+        spp=cfg.spp,
+        max_bounces=cfg.max_bounces,
+        jitter=cfg.resolved_jitter,
+        push=cfg.push_ray_origin,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        height=cfg.height,
+        width=cfg.width,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (3, tile_h, tile_w),
+                lambda i, j: (0, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (GRAD_ROWS, GRAD_COLS),
+            lambda i, j: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((GRAD_ROWS, GRAD_COLS), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(scene_params, cam_params, seed_arr, ct)
+    n = scene.num_objects
+    return out[:n, 0:3], out[:n, 3:6]
+
+
+def pallas_cross_grads(scene, cam, cfg: RenderConfig, step, target, interpret: bool = False):
+    """(loss, {d_color?, d_emission?}) of the unbiased cross-estimator
+    ``mean((A - T) * (B - T))`` over two independent Pallas renders — the
+    all-Pallas inverse-rendering step (see inverse.py for why plain L2 on
+    one noisy render is biased).
+
+    d/dp = mean(dA/dp * (B - T)) + mean((A - T) * dB/dp): one backward
+    kernel per render with the *other* render's residual as cotangent.
+    """
+    from pathtrace_tpu.ops.pallas_trace import render_channels_pallas
+
+    frame_a = 2 * step
+    frame_b = 2 * step + 1
+    a = render_channels_pallas(scene, cam, cfg, frame_a, interpret)[..., 0:3]
+    b = render_channels_pallas(scene, cam, cfg, frame_b, interpret)[..., 0:3]
+    ra = a - target
+    rb = b - target
+    denom = cfg.height * cfg.width * 3
+    loss = jnp.sum(ra * rb) / denom
+    d_ea, d_ca = render_color_grads_pallas(scene, cam, cfg, frame_a, rb / denom, interpret)
+    d_eb, d_cb = render_color_grads_pallas(scene, cam, cfg, frame_b, ra / denom, interpret)
+    return loss, {"emission": d_ea + d_eb, "color": d_ca + d_cb}
+
+
+def pallas_loss_and_grads(scene, cam, cfg: RenderConfig, frame, target, interpret: bool = False):
+    """(loss, (d_scene, d_camera)) of the mean-squared pixel loss — the
+    all-Pallas fwd+bwd path. Geometry/camera gradients are exactly zero
+    for this loss under the detached estimator (use the jnp path with NEE
+    or the geometry AOV probes for those)."""
+    from pathtrace_tpu.camera import Camera
+    from pathtrace_tpu.ops.pallas_trace import render_channels_pallas
+    from pathtrace_tpu.scene import Scene
+
+    buf = render_channels_pallas(scene, cam, cfg, frame, interpret)
+    color = buf[..., 0:3]
+    diff = color - target
+    denom = cfg.height * cfg.width * 3
+    loss = jnp.sum(diff * diff) / denom
+    cotangent = 2.0 * diff / denom
+    d_e, d_c = render_color_grads_pallas(scene, cam, cfg, frame, cotangent, interpret)
+    d_scene = Scene(
+        radius=jnp.zeros_like(scene.radius),
+        position=jnp.zeros_like(scene.position),
+        emission=d_e,
+        color=d_c,
+    )
+    d_cam = Camera(
+        position=jnp.zeros_like(cam.position),
+        yaw=jnp.zeros_like(cam.yaw),
+        pitch=jnp.zeros_like(cam.pitch),
+    )
+    return loss, (d_scene, d_cam)
