@@ -105,6 +105,20 @@ def main() -> int:
             args.size, args.size, args.spp, args.bounces, secs_pg
         )
 
+    # -- all-Pallas inverse-rendering step (cross-estimator, 256^2 x 8spp) --
+    if backend in ("tpu", "axon") and not args.no_grad and not args.quick:
+        from pathtrace_tpu.ops.pallas_grad import pallas_cross_grads
+
+        cfg_inv = RenderConfig(width=256, height=256, spp=8, backend="pallas")
+        target_inv = jnp.zeros((256, 256, 3), jnp.float32)
+
+        def inv_scalar(s, c, f):
+            loss, g = pallas_cross_grads(s, c, cfg_inv, f, target_inv)
+            return loss + jnp.sum(g["color"]) + jnp.sum(g["emission"])
+
+        secs_inv = per_frame_seconds(inv_scalar)
+        extras["inverse_step_ms"] = secs_inv * 1e3
+
     # -- jnp (differentiable oracle) forward --------------------------------
     from pathtrace_tpu.render import render_channels
 

@@ -53,7 +53,12 @@ class Scene:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        # Must NOT coerce children: JAX unflattens with internal
+        # placeholder leaves (tracers, ArgInfo during jit lowering) that
+        # jnp.asarray would reject.
+        obj = object.__new__(cls)
+        obj.radius, obj.position, obj.emission, obj.color = children
+        return obj
 
     def __repr__(self):
         return f"Scene(num_objects={self.radius.shape[0]})"

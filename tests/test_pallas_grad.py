@@ -84,6 +84,34 @@ def test_pallas_cross_grads_match_jnp_ad(setup):
         )
 
 
+def test_fused_matches_two_pass_replay(setup):
+    """The single-pass fused kernel (cotangent-free accumulators contracted
+    after the spp loop) against the two-pass replay kernel with the
+    explicit MSE cotangent — identical lattice, so near-exact agreement."""
+    from pathtrace_tpu.ops.pallas_grad import (
+        fused_loss_grads_pallas,
+        render_color_grads_pallas,
+    )
+    from pathtrace_tpu.ops.pallas_trace import render_channels_pallas
+
+    scene, cam, target = setup
+    loss_f, d_e_f, d_c_f, color_f = fused_loss_grads_pallas(
+        scene, cam, CFG, 0, target, interpret=True
+    )
+    buf = render_channels_pallas(scene, cam, CFG, 0, interpret=True)
+    color = buf[..., 0:3]
+    denom = CFG.height * CFG.width * 3
+    diff = color - target
+    loss_r = jnp.sum(diff * diff) / denom
+    d_e_r, d_c_r = render_color_grads_pallas(
+        scene, cam, CFG, 0, 2.0 * diff / denom, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(color_f), np.asarray(color), atol=1e-6)
+    np.testing.assert_allclose(float(loss_f), float(loss_r), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(d_e_f), np.asarray(d_e_r), rtol=1e-4, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(d_c_f), np.asarray(d_c_r), rtol=1e-4, atol=1e-8)
+
+
 def test_pallas_grads_nonzero(setup):
     scene, cam, target = setup
     _, (ds, _) = pallas_loss_and_grads(scene, cam, CFG, 0, target, interpret=True)
