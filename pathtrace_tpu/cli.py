@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", choices=["auto", "jnp", "pallas"], default="auto",
                    help="Tracer implementation: pure-JAX oracle or Pallas TPU kernel")
     p.add_argument("--bounces", type=int, default=5, help="Path depth (5 in the reference)")
+    p.add_argument("--brdf", choices=["diffuse", "glossy"], default="diffuse",
+                   help="BRDF: cosine-weighted diffuse, or the reference's "
+                        "commented-out glossy experiment (pathtrace.cu:181-184)")
     p.add_argument("--spp-chunk", type=int, default=0,
                    help="Trace spp in chunks of this size (bounds memory at high spp)")
     p.add_argument("--seed", type=int, default=0, help="RNG seed")
@@ -94,6 +97,7 @@ def main(argv=None) -> int:
         spp_chunk=args.spp_chunk,
         backend=args.backend,
         seed=args.seed,
+        brdf=args.brdf,
         tile_shape=(max(args.threads_per_block, 8), 128),
     )
     scene = cornell_box()

@@ -73,6 +73,18 @@ class RenderConfig:
     # the light index matches the reference's hard-coded 8.
     nee: bool = False
     light_index: int = 8
+    # BRDF: "diffuse" (cosine-weighted, the reference's shipped path) or
+    # "glossy" — the reference's commented-out "makeshift glossy BRDF"
+    # experiment (pathtrace.cu:181-184: reflect the sampled direction about
+    # the normal, perturb by 0.01*uniform3 - 0.005, renormalize), shipped
+    # here as a working option. Glossy runs on the jnp backend (it draws 3
+    # extra uniforms per bounce, a different RNG lattice than the Pallas
+    # megakernel's).
+    brdf: str = "diffuse"
+
+    @property
+    def slots_per_bounce(self) -> int:
+        return 5 if self.brdf == "glossy" else 2
 
     @property
     def resolved_jitter(self) -> bool:

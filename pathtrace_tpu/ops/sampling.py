@@ -55,6 +55,23 @@ def cosine_weighted_direction(normal, u1, u2, power: float = 1.0):
     return _normalize(d)
 
 
+def reflect(incident, normal):
+    """Mirror ``incident`` about ``normal`` (CUDA ``reflect``:
+    I - 2 * dot(N, I) * N)."""
+    return incident - 2.0 * jnp.sum(normal * incident, axis=-1, keepdims=True) * normal
+
+
+def glossy_direction(normal, u1, u2, u3, u4, u5):
+    """The reference's "makeshift glossy BRDF" experiment
+    (``pathtrace.cu:181-184``, commented out there; a working option here):
+    reflect the cosine-weighted sample about the normal, perturb by
+    ``0.01 * uniform3 - 0.005``, renormalize."""
+    d = cosine_weighted_direction(normal, u1, u2)
+    d = reflect(d, normal)
+    jig = 0.01 * jnp.stack([u3, u4, u5], axis=-1) - 0.005
+    return _normalize(d + jig)
+
+
 def direct_lighting(scene, normal, position, light_index: int, push: float):
     """Lambert x emission x shadow toward the light's bottom point
     (reference ``getDirectLighting``, ``pathtrace.cu:138-148``; dead code

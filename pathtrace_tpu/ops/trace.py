@@ -65,13 +65,15 @@ def trace_paths(
     max_bounces: int = 5,
     push_ray_origin: float = 0.05,
     nee_light_index: int | None = None,
+    brdf: str = "diffuse",
 ) -> TraceResult:
     """Trace a batch of primary rays through the scene.
 
     origin, direction: [..., 3] (direction unnormalized, as the reference's
       primary rays are — depth is measured in that basis).
-    bounce_uniforms: [..., 2 * max_bounces] — two uniforms per bounce for
-      the cosine-weighted BRDF sample.
+    bounce_uniforms: [..., S * max_bounces] — S uniforms per bounce: 2 for
+      the cosine-weighted diffuse BRDF, 5 for ``brdf="glossy"`` (2 cosine +
+      3 perturbation; the reference's pathtrace.cu:181-184 experiment).
     nee_light_index: when set, adds next-event-estimation direct lighting at
       every hit — the reference's dormant ``getDirectLighting`` path
       (``pathtrace.cu:169`` commented out; formula ``:138-148`` including
@@ -131,9 +133,22 @@ def trace_paths(
             hit0 = hit_now
 
         if n + 1 < max_bounces:
-            u1 = bounce_uniforms[..., 2 * n]
-            u2 = bounce_uniforms[..., 2 * n + 1]
-            new_d = cosine_weighted_direction(normal, u1, u2)
+            spb = 5 if brdf == "glossy" else 2
+            u1 = bounce_uniforms[..., spb * n]
+            u2 = bounce_uniforms[..., spb * n + 1]
+            if brdf == "glossy":
+                from pathtrace_tpu.ops.sampling import glossy_direction
+
+                new_d = glossy_direction(
+                    normal,
+                    u1,
+                    u2,
+                    bounce_uniforms[..., spb * n + 2],
+                    bounce_uniforms[..., spb * n + 3],
+                    bounce_uniforms[..., spb * n + 4],
+                )
+            else:
+                new_d = cosine_weighted_direction(normal, u1, u2)
             new_o = pos + normal * push_ray_origin
             ray_o = jnp.where(hit_now[..., None], new_o, ray_o)
             ray_d = jnp.where(hit_now[..., None], new_d, ray_d)

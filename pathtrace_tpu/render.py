@@ -85,6 +85,7 @@ def _trace_chunk(
         cfg.max_bounces,
         sample_offset,
         row_offset=row_offset,
+        slots_per_bounce=cfg.slots_per_bounce,
     )
     jitter_uv = uniforms[..., :2] if cfg.resolved_jitter else None
     bounce_u = uniforms[..., 2:]
@@ -99,6 +100,7 @@ def _trace_chunk(
         max_bounces=cfg.max_bounces,
         push_ray_origin=cfg.push_ray_origin,
         nee_light_index=cfg.light_index if cfg.nee else None,
+        brdf=cfg.brdf,
     )
     sums = {
         "color": jnp.sum(res.color, axis=0),
@@ -214,6 +216,8 @@ def render_aovs(scene, cam, cfg: RenderConfig, frame=0) -> Dict[str, jnp.ndarray
     backend = cfg.backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if cfg.brdf != "diffuse":
+        backend = "jnp"  # glossy draws a wider RNG lattice (see config)
     if backend == "pallas":
         from pathtrace_tpu.ops import pallas_trace
 

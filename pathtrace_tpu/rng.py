@@ -93,12 +93,15 @@ def sample_uniforms(
     sample_offset: int = 0,
     row_offset=0,
     col_offset=0,
+    slots_per_bounce: int = 2,
 ) -> jnp.ndarray:
     """The uniform lattice for a chunk of samples:
-    [spp, H, W, 2 + 2*max_bounces], identical to what the Pallas kernel
-    draws in-register for the same (seed, frame) and absolute coordinates.
+    [spp, H, W, 2 + slots_per_bounce*max_bounces]. With the default 2
+    slots/bounce this is identical to what the Pallas kernel draws
+    in-register for the same (seed, frame) and absolute coordinates; the
+    glossy BRDF draws 5 (2 cosine + 3 perturbation).
     """
-    n_slots = JITTER_SLOTS + 2 * max_bounces
+    n_slots = JITTER_SLOTS + slots_per_bounce * max_bounces
     bkey = base_key(seed, frame)
     pkeys = pixel_keys(height, width, row_offset, col_offset)  # [H, W]
     samples = jnp.arange(spp, dtype=jnp.int32) + jnp.asarray(

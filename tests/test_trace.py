@@ -104,3 +104,53 @@ def test_escape_path_excluded_from_color_variance(scene):
     assert not bool(res.include_color[0])  # escaped at bounce 0
     assert not bool(res.hit0[0])
     assert bool(res.hit0[1])
+
+
+class TestGlossyBRDF:
+    """The reference's commented-out glossy experiment (pathtrace.cu:181-184)
+    as a working RenderConfig option."""
+
+    def test_reflect(self):
+        from pathtrace_tpu.ops.sampling import reflect
+
+        n = jnp.asarray([0.0, 1.0, 0.0])
+        d = jnp.asarray([1.0, -1.0, 0.0]) / np.sqrt(2.0)
+        r = reflect(d, n)
+        np.testing.assert_allclose(
+            np.asarray(r), np.asarray([1.0, 1.0, 0.0]) / np.sqrt(2.0), atol=1e-6
+        )
+
+    def test_glossy_direction_unit_and_mirror_lobed(self):
+        from pathtrace_tpu.ops.sampling import glossy_direction, reflect
+
+        rng = np.random.default_rng(0)
+        n = jnp.asarray([0.0, 0.0, 1.0])
+        u = [jnp.asarray(rng.uniform(size=512), jnp.float32) for _ in range(5)]
+        d = glossy_direction(jnp.broadcast_to(n, (512, 3)), *u)
+        np.testing.assert_allclose(
+            np.asarray(jnp.linalg.norm(d, axis=-1)), 1.0, atol=1e-5
+        )
+        # Reflecting a cosine lobe about the normal sends it into the
+        # OPPOSITE hemisphere (mean z < 0): mirror-like, unlike diffuse.
+        assert float(jnp.mean(d[:, 2])) < -0.3
+
+    def test_glossy_render_differs_and_is_finite(self, scene):
+        import dataclasses
+
+        from pathtrace_tpu import Camera, RenderConfig
+        from pathtrace_tpu.render import render_aovs
+
+        cam = Camera.create()
+        # jitter off: the glossy lattice has a different slot stride, so
+        # jittered primary rays (and thus bounce-0 AOVs) would not line up.
+        cfg = RenderConfig(
+            width=64, height=64, spp=2, backend="jnp", brdf="glossy", jitter=False
+        )
+        aovs = render_aovs(scene, cam, cfg)
+        assert np.isfinite(np.asarray(aovs["color"])).all()
+        diffuse = render_aovs(scene, cam, dataclasses.replace(cfg, brdf="diffuse"))
+        # Bounce-0 AOVs are BRDF-independent; color is not.
+        np.testing.assert_allclose(
+            np.asarray(aovs["albedo"]), np.asarray(diffuse["albedo"]), atol=1e-6
+        )
+        assert float(jnp.abs(aovs["color"] - diffuse["color"]).max()) > 1e-3
