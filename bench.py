@@ -119,6 +119,29 @@ def main() -> int:
         secs_inv = per_frame_seconds(inv_scalar)
         extras["inverse_step_ms"] = secs_inv * 1e3
 
+    # -- interactive denoised frame: 512^2 x 4spp render + CNN forward ------
+    if backend in ("tpu", "axon") and not args.quick:
+        from pathtrace_tpu.models.denoise_cnn import DenoiseCNN
+        from pathtrace_tpu.models.infer import _denoise_jit
+        from pathtrace_tpu.ops.pallas_trace import render_channels_pallas
+        from pathtrace_tpu.train import create_state
+
+        cfg_int = RenderConfig(
+            width=args.size, height=args.size, spp=4, max_bounces=args.bounces,
+            backend="pallas",
+        )
+        model = DenoiseCNN()
+        state = create_state(jax.random.key(0), model, (args.size, args.size, 14))
+
+        def frame_scalar(s, c, f):
+            buf = render_channels_pallas(s, c, cfg_int, f)
+            rgb = _denoise_jit(model, state.params, state.batch_stats, buf)
+            return rgb[0, 0, 0]
+
+        secs_f = per_frame_seconds(frame_scalar)
+        extras["denoised_frame_ms"] = secs_f * 1e3
+        extras["denoised_frame_fps"] = 1.0 / secs_f
+
     # -- jnp (differentiable oracle) forward --------------------------------
     from pathtrace_tpu.render import render_channels
 

@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", choices=["auto", "jnp", "pallas"], default="auto",
                    help="Tracer implementation: pure-JAX oracle or Pallas TPU kernel")
     p.add_argument("--bounces", type=int, default=5, help="Path depth (5 in the reference)")
+    p.add_argument("--nee", action="store_true",
+                   help="Next-event-estimation direct lighting (the reference's "
+                        "dormant getDirectLighting path, pathtrace.cu:138-148)")
     p.add_argument("--brdf", choices=["diffuse", "glossy"], default="diffuse",
                    help="BRDF: cosine-weighted diffuse, or the reference's "
                         "commented-out glossy experiment (pathtrace.cu:181-184)")
@@ -98,6 +101,7 @@ def main(argv=None) -> int:
         backend=args.backend,
         seed=args.seed,
         brdf=args.brdf,
+        nee=args.nee,
         tile_shape=(max(args.threads_per_block, 8), 128),
     )
     scene = cornell_box()

@@ -652,6 +652,11 @@ def fused_loss_grads_pallas(
     """(loss, d_emission [N,3], d_color [N,3], color [H,W,3]) of the
     mean-squared pixel loss vs ``target`` — ONE kernel, ONE trajectory pass
     (see _fused_loss_grad_kernel). loss = sum((mean-target)^2)/(H*W*3)."""
+    if cfg.nee or cfg.brdf != "diffuse":
+        raise NotImplementedError(
+            "the Pallas backward implements the diffuse gathering path; "
+            "use the jnp grad path (grad.py) for NEE/glossy configs"
+        )
     tile_h, tile_w = cfg.tile_shape
     tile_h = max(8, tile_h)
     tile_w = max(128, _round_up(min(tile_w, cfg.width), 128))
@@ -730,6 +735,11 @@ def render_grad_acc_pallas(scene, cam, cfg: RenderConfig, frame, interpret: bool
     ``sum(ct[..., ch%3] * acc[..., i*6+ch])`` over pixels yields the exact
     gradient of ``sum(ct * mean_color)`` for ANY per-pixel cotangent ct —
     see _fused_loss_grad_kernel mode="dump"."""
+    if cfg.nee or cfg.brdf != "diffuse":
+        raise NotImplementedError(
+            "the Pallas backward implements the diffuse gathering path; "
+            "use the jnp grad path (grad.py) for NEE/glossy configs"
+        )
     tile_h, tile_w = cfg.tile_shape
     tile_h = max(8, tile_h)
     tile_w = max(128, _round_up(min(tile_w, cfg.width), 128))
@@ -796,6 +806,11 @@ def render_color_grads_pallas(
 
     cotangent: [H, W, 3] pixel cotangents (w.r.t. the spp-averaged color).
     """
+    if cfg.nee or cfg.brdf != "diffuse":
+        raise NotImplementedError(
+            "the Pallas backward implements the diffuse gathering path; "
+            "use the jnp grad path (grad.py) for NEE/glossy configs"
+        )
     tile_h, tile_w = cfg.tile_shape
     tile_h = max(8, tile_h)
     tile_w = max(128, _round_up(min(tile_w, cfg.width), 128))

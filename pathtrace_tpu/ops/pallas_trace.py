@@ -73,6 +73,7 @@ def _pathtrace_kernel(
     tile_w: int,
     height: int,
     width: int,
+    nee_light_index: int | None = None,
 ):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
@@ -221,6 +222,55 @@ def _pathtrace_kernel(
                 er = jnp.clip(er, 0.0, 1.0)
                 eg = jnp.clip(eg, 0.0, 1.0)
                 eb = jnp.clip(eb, 0.0, 1.0)
+            if nee_light_index is not None:
+                # Next-event estimation (getDirectLighting semantics,
+                # pathtrace.cu:109-148): deterministic shadow ray to the
+                # light's bottom point, Lambert x emission x visibility,
+                # modulated by the hit albedo and the reference's 0.5.
+                li = nee_light_index
+                lb_x = scene_ref[li, 1]
+                lb_y = scene_ref[li, 2] - scene_ref[li, 0]
+                lb_z = scene_ref[li, 3]
+                # Light direction from the UNPUSHED hit position, shadow ray
+                # from the pushed origin, range to the light from the pushed
+                # origin — exactly getDirectLighting/testShadowRay
+                # (pathtrace.cu:110,139-146) and ops/sampling.direct_lighting.
+                sox = hx + nx_ * push
+                soy = hy + ny_ * push
+                soz = hz + nz_ * push
+                lvx, lvy, lvz = lb_x - hx, lb_y - hy, lb_z - hz
+                l_inv = jax.lax.rsqrt(
+                    _dot3(lvx, lvy, lvz, lvx, lvy, lvz) + 1e-20
+                )
+                ldx, ldy, ldz = lvx * l_inv, lvy * l_inv, lvz * l_inv
+                svx, svy, svz = lb_x - sox, lb_y - soy, lb_z - soz
+                t_light = jnp.sqrt(_dot3(svx, svy, svz, svx, svy, svz))
+                diffuse = jnp.clip(
+                    _dot3(ldx, ldy, ldz, nx_, ny_, nz_), 0.0, 1.0
+                )
+                vis = jnp.ones(shape, bool)
+                for i in range(num_spheres):
+                    if i == li:
+                        continue
+                    rad = scene_ref[i, 0]
+                    px, py, pz = scene_ref[i, 1], scene_ref[i, 2], scene_ref[i, 3]
+                    rel_x, rel_y, rel_z = px - sox, py - soy, pz - soz
+                    tca = _dot3(rel_x, rel_y, rel_z, ldx, ldy, ldz)
+                    qx = rel_x - tca * ldx
+                    qy = rel_y - tca * ldy
+                    qz = rel_z - tca * ldz
+                    d2 = _dot3(qx, qy, qz, qx, qy, qz)
+                    det = rad * rad - d2
+                    thc = jnp.sqrt(jnp.maximum(det, 0.0))
+                    t_near = tca - thc
+                    t_far = tca + thc
+                    t = jnp.where(t_near > 0.0, t_near, t_far)
+                    blocked = (det >= 0.0) & (t > 0.0) & (t < t_light)
+                    vis = vis & ~blocked
+                dl = diffuse * jnp.where(vis, 1.0, 0.0) * 0.5
+                er = er + mask_r * dl * scene_ref[li, 4] * s_cr
+                eg = eg + mask_g * dl * scene_ref[li, 5] * s_cg
+                eb = eb + mask_b * dl * scene_ref[li, 6] * s_cb
             col_r = col_r + jnp.where(hit_now, er, 0.0)
             col_g = col_g + jnp.where(hit_now, eg, 0.0)
             col_b = col_b + jnp.where(hit_now, eb, 0.0)
@@ -366,6 +416,11 @@ def _round_up(x: int, m: int) -> int:
 )
 def render_channels_pallas(scene, cam, cfg: RenderConfig, frame=0, interpret=False):
     """Render via the Pallas megakernel -> packed [H, W, 14] buffer."""
+    if cfg.brdf != "diffuse":
+        raise NotImplementedError(
+            "the Pallas megakernel implements the diffuse (and NEE) paths; "
+            "glossy draws a wider RNG lattice and runs on the jnp backend"
+        )
     tile_h, tile_w = cfg.tile_shape
     tile_h = max(8, tile_h)
     tile_w = max(128, _round_up(min(tile_w, cfg.width), 128))
@@ -395,6 +450,7 @@ def render_channels_pallas(scene, cam, cfg: RenderConfig, frame=0, interpret=Fal
         tile_w=tile_w,
         height=cfg.height,
         width=cfg.width,
+        nee_light_index=cfg.light_index if cfg.nee else None,
     )
     flops_per_segment = 350  # ~intersection(9 spheres) + shading + sampling
     out = pl.pallas_call(

@@ -353,6 +353,18 @@ def main(argv=None) -> int:
     )
     print(f"===> Dataset: {inputs.shape} -> {targets.shape}")
 
+    # Validation set: one full-frame pair at the default camera pose (the
+    # reference's test set is pair 0 full-frame, data.py:27-29), validated
+    # on the 50-epoch checkpoint cadence with PSNR + preview dumps.
+    from pathtrace_tpu.data.collect import render_pair
+
+    vnoisy, vgt = render_pair(
+        scene, (50.0, 52.0, 295.6, -90.0, 0.0), cfg,
+        spp_train=args.spp_train, spp_gt=args.spp_gt, frame=10_000,
+    )
+    vx = np.asarray(preprocess_channels(jnp.asarray(vnoisy)))[None]
+    vy = np.asarray(preprocess_target(jnp.asarray(vgt)))[None]
+
     print("===> Building model")
     if args.resume:
         base_dir = args.resume
@@ -378,6 +390,7 @@ def main(argv=None) -> int:
         batch_size=args.batch,
         ckpt_dir=base_dir,
         log_every=1,
+        val=(vx, vy),
     )
     save_checkpoint(base_dir, state, model)
     return 0

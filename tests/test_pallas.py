@@ -85,3 +85,47 @@ def test_seed_and_frame_change_samples():
     assert not np.array_equal(np.asarray(a), np.asarray(c))
     a2 = render_channels_pallas(scene, cam, cfg, frame=0, interpret=True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(a2))  # deterministic
+
+
+def test_nee_matches_jnp_backend():
+    """NEE in the megakernel vs the jnp path on the same lattice: exact at
+    bounce 0 (deterministic shadow ray); multi-bounce allows isolated
+    shadow-boundary flips from fp trajectory divergence."""
+    from pathtrace_tpu.render import _render_aovs_jnp, pack_channels
+
+    scene, cam = cornell_box(), Camera.create()
+    cfg = RenderConfig(
+        width=128, height=16, spp=1, max_bounces=1, nee=True,
+        backend="jnp", jitter=False,
+    )
+    jb = np.asarray(pack_channels(_render_aovs_jnp(scene, cam, cfg, 0)))
+    pb = np.asarray(render_channels_pallas(scene, cam, cfg, 0, interpret=True))
+    np.testing.assert_allclose(jb[..., 0:3], pb[..., 0:3], atol=5e-4)
+    # NEE actually contributes (direct light on the floor).
+    off = dataclasses.replace(cfg, nee=False)
+    jb_off = np.asarray(pack_channels(_render_aovs_jnp(scene, cam, off, 0)))
+    assert np.abs(jb[..., 0:3] - jb_off[..., 0:3]).max() > 0.05
+
+    cfg3 = dataclasses.replace(cfg, spp=4, max_bounces=3, jitter=None)
+    jb3 = np.asarray(pack_channels(_render_aovs_jnp(scene, cam, cfg3, 0)))
+    pb3 = np.asarray(render_channels_pallas(scene, cam, cfg3, 0, interpret=True))
+    d = np.abs(jb3[..., 0:3] - pb3[..., 0:3])
+    assert float((d > 0.01).mean()) < 0.005
+    assert float(d.mean()) < 1e-3
+
+
+def test_pallas_grads_reject_nee_and_glossy():
+    import pytest
+
+    import jax.numpy as jnp
+
+    from pathtrace_tpu.ops.pallas_grad import fused_loss_grads_pallas
+
+    scene, cam = cornell_box(), Camera.create()
+    tgt = jnp.zeros((8, 128, 3), jnp.float32)
+    for bad in (
+        RenderConfig(width=128, height=8, spp=1, nee=True),
+        RenderConfig(width=128, height=8, spp=1, brdf="glossy"),
+    ):
+        with pytest.raises(NotImplementedError):
+            fused_loss_grads_pallas(scene, cam, bad, 0, tgt, interpret=True)
