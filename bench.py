@@ -61,7 +61,7 @@ def main() -> int:
     # measurement reflects device time, then divide.
     k_frames = 4 if args.quick else 12
 
-    def per_frame_seconds(frame_scalar_fn):
+    def per_frame_seconds(frame_scalar_fn, repeats: int = 1):
         @jax.jit
         def multi(scene_, cam_, frame0):
             def body(i, acc):
@@ -69,7 +69,13 @@ def main() -> int:
 
             return jax.lax.fori_loop(0, k_frames, body, 0.0)
 
-        secs, _ = time_fn(multi, scene, cam, 0, warmup=1, iters=2)
+        # Best-of-N for the headline metrics: the tunneled chip is shared,
+        # and a transient slowdown in a single 2-iter window has been
+        # observed to skew a metric by ~25%.
+        secs = min(
+            time_fn(multi, scene, cam, 0, warmup=1 if r == 0 else 0, iters=2)[0]
+            for r in range(max(repeats, 1))
+        )
         return secs / k_frames
 
     extras = {}
@@ -83,7 +89,7 @@ def main() -> int:
             max_bounces=args.bounces, backend="pallas",
         )
         secs = per_frame_seconds(
-            lambda s, c, f: render_channels_pallas(s, c, cfg, f)[0, 0, 0]
+            lambda s, c, f: render_channels_pallas(s, c, cfg, f)[0, 0, 0], repeats=3
         )
         headline = mrays_per_sec(args.size, args.size, args.spp, args.bounces, secs)
         extras["pallas_fwd_ms"] = secs * 1e3
@@ -100,7 +106,7 @@ def main() -> int:
             loss, (d_scene, _) = pallas_loss_and_grads(s, c, cfg, f, target0)
             return loss + jnp.sum(d_scene.emission)
 
-        secs_pg = per_frame_seconds(pallas_grad_scalar)
+        secs_pg = per_frame_seconds(pallas_grad_scalar, repeats=3)
         extras["pallas_fwd_bwd_mrays"] = mrays_per_sec(
             args.size, args.size, args.spp, args.bounces, secs_pg
         )
