@@ -64,10 +64,12 @@ class RenderConfig:
     jitter: bool | None = None
     seed: int = 0
     push_ray_origin: float = PUSH_RAY_ORIGIN
-    # (16, 256) won the v5e tile sweep (2.2 Grays/s at 512^2x32spp; see
-    # bench.py) — large enough to amortize per-program overhead, small
-    # enough to keep the ~60 live (th, tw) f32 state arrays in VMEM.
-    tile_shape: Tuple[int, int] = (16, 256)
+    # (8, 256) won the v5e tile sweep for BOTH the forward megakernel
+    # (5.36 vs 5.15 Grays/s at 512^2x32spp) and the fused fwd+bwd kernel
+    # (4.31 vs 4.09) over the old (16, 256) — the grad kernels hold ~130
+    # live (th, tw) f32 arrays, so the smaller tile relieves VMEM pressure;
+    # measured interleaved best-of-6 to cancel shared-chip drift.
+    tile_shape: Tuple[int, int] = (8, 256)
     # Next-event estimation (the reference's dormant getDirectLighting,
     # pathtrace.cu:138-148,169): off by default for image parity; when on,
     # the light index matches the reference's hard-coded 8.

@@ -74,6 +74,7 @@ def _pathtrace_kernel(
     height: int,
     width: int,
     nee_light_index: int | None = None,
+    emit_partials: bool = False,
 ):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
@@ -378,6 +379,20 @@ def _pathtrace_kernel(
         n_d, mean_d, m2_d,
     ) = carry
 
+    if emit_partials:
+        # Shard/chunk-mergeable partials instead of finalized channels:
+        # 10 raw sums + (n, mean, M2) per variance feature — exactly the
+        # ops/variance.Moments monoid, so Chan merges across spp batches
+        # (progressive.py) or mesh shards reproduce the monolithic render.
+        for k, v in enumerate(
+            (sum_cr, sum_cg, sum_cb, sum_nx, sum_ny, sum_nz,
+             sum_ar, sum_ag, sum_ab, sum_d,
+             n_c, mean_c, m2_c, n_n, mean_n, m2_n,
+             n_a, mean_a, m2_a, n_d, mean_d, m2_d)
+        ):
+            out_ref[k] = v
+        return
+
     inv_spp = 1.0 / spp
 
     def var(n, m2):
@@ -480,3 +495,84 @@ def render_channels_pallas(scene, cam, cfg: RenderConfig, frame=0, interpret=Fal
 
 def render_aovs_pallas(scene, cam, cfg: RenderConfig, frame=0, interpret=False) -> Dict:
     return unpack_channels(render_channels_pallas(scene, cam, cfg, frame, interpret))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def render_partials_pallas(
+    scene, cam, cfg: RenderConfig, frame=0, sample_offset=0, interpret=False
+):
+    """Megakernel pass -> shard/chunk-mergeable (sums, moments) partials,
+    the same contract as ``render.accumulate_frame``: sums are RAW channel
+    sums over ``cfg.spp`` samples at global sample offsets
+    [sample_offset, sample_offset + spp); moments are per-feature Welford
+    ``Moments(n, mean, m2)``. Feeding progressive accumulation
+    (progressive.py) and spp sharding at full kernel speed."""
+    from pathtrace_tpu.ops.variance import Moments
+
+    if cfg.brdf != "diffuse":
+        raise NotImplementedError(
+            "the Pallas megakernel implements the diffuse (and NEE) paths; "
+            "glossy draws a wider RNG lattice and runs on the jnp backend"
+        )
+    tile_h, tile_w = cfg.tile_shape
+    tile_h = max(8, tile_h)
+    tile_w = max(128, _round_up(min(tile_w, cfg.width), 128))
+    pad_h = _round_up(cfg.height, tile_h)
+    pad_w = _round_up(cfg.width, tile_w)
+
+    scene_params = _pack_scene(scene)
+    basis = cam.eye_ray_basis(cfg.width, cfg.height)
+    cam_params = jnp.concatenate([cam.position[None, :], basis], axis=0)
+    seed_arr = jnp.stack(
+        [
+            jnp.asarray(cfg.seed & 0x7FFFFFFF, jnp.int32),
+            jnp.asarray(frame, jnp.int32),
+            jnp.asarray(sample_offset, jnp.int32),
+        ]
+    )
+
+    grid = (pad_h // tile_h, pad_w // tile_w)
+    kernel = functools.partial(
+        _pathtrace_kernel,
+        num_spheres=scene.num_objects,
+        spp=cfg.spp,
+        max_bounces=cfg.max_bounces,
+        jitter=cfg.resolved_jitter,
+        push=cfg.push_ray_origin,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        height=cfg.height,
+        width=cfg.width,
+        nee_light_index=cfg.light_index if cfg.nee else None,
+        emit_partials=True,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (22, tile_h, tile_w),
+            lambda i, j: (0, i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((22, pad_h, pad_w), jnp.float32),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(scene_params, cam_params, seed_arr)
+    out = out[:, : cfg.height, : cfg.width]
+    sums = {
+        "color": jnp.moveaxis(out[0:3], 0, -1),
+        "normal": jnp.moveaxis(out[3:6], 0, -1),
+        "albedo": jnp.moveaxis(out[6:9], 0, -1),
+        "depth": out[9],
+    }
+    moments = {
+        "color": Moments(out[10], out[11], out[12]),
+        "normal": Moments(out[13], out[14], out[15]),
+        "albedo": Moments(out[16], out[17], out[18]),
+        "depth": Moments(out[19], out[20], out[21]),
+    }
+    return sums, moments

@@ -28,6 +28,23 @@ from pathtrace_tpu.ops.variance import Moments, merge_moments
 from pathtrace_tpu.render import accumulate_frame, finalize_aovs
 
 
+# Module-level jits: a fresh jax.jit wrapper per accumulate() call would
+# RETRACE the whole spp-chunk program for every batch (~2 s of host time
+# per 512-spp batch at 512^2 — 4x the actual device render time).
+_accumulate_jit = jax.jit(
+    accumulate_frame, static_argnames=("cfg", "local_h", "spp")
+)
+
+
+@jax.jit
+def _merge_jit(sums, moments, new_sums, new_moments):
+    merged_sums = jax.tree.map(jnp.add, sums, new_sums)
+    merged_moments = {
+        k: merge_moments(moments[k], new_moments[k]) for k in moments
+    }
+    return merged_sums, merged_moments
+
+
 class ProgressiveRenderer:
     """Accumulates spp batches for one (scene, camera, frame) into running
     (sums, moments) partials; ``aovs()`` finalizes at any time."""
@@ -44,26 +61,35 @@ class ProgressiveRenderer:
     def accumulate(self, spp: int):
         """Trace ``spp`` more samples (global offsets continue where the
         last batch ended — identical lattice to a monolithic render)."""
-        cfg = dataclasses.replace(self.cfg, spp=max(self.cfg.spp, 1))
-        sums, moments = jax.jit(
-            accumulate_frame,
-            static_argnames=("cfg", "local_h", "spp"),
-        )(
-            self.scene,
-            self.cam,
-            cfg,
-            self.frame,
-            spp=spp,
-            sample_offset=self.samples_done,
-        )
+        backend = self.cfg.backend
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+        if backend == "pallas" and self.cfg.brdf == "diffuse":
+            # Full-kernel-speed partials: the megakernel emits the raw
+            # sums + Welford Moments directly (emit_partials mode).
+            from pathtrace_tpu.ops.pallas_trace import render_partials_pallas
+
+            cfg = dataclasses.replace(self.cfg, spp=spp)
+            sums, moments = render_partials_pallas(
+                self.scene, self.cam, cfg, self.frame,
+                sample_offset=self.samples_done,
+            )
+        else:
+            cfg = dataclasses.replace(self.cfg, spp=max(self.cfg.spp, 1))
+            sums, moments = _accumulate_jit(
+                self.scene,
+                self.cam,
+                cfg,
+                self.frame,
+                spp=spp,
+                sample_offset=self.samples_done,
+            )
         if self._sums is None:
             self._sums, self._moments = sums, moments
         else:
-            self._sums = jax.tree.map(jnp.add, self._sums, sums)
-            self._moments = {
-                k: merge_moments(self._moments[k], moments[k])
-                for k in self._moments
-            }
+            self._sums, self._moments = _merge_jit(
+                self._sums, self._moments, sums, moments
+            )
         self.samples_done += spp
         return self
 

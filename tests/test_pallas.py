@@ -129,3 +129,39 @@ def test_pallas_grads_reject_nee_and_glossy():
     ):
         with pytest.raises(NotImplementedError):
             fused_loss_grads_pallas(scene, cam, bad, 0, tgt, interpret=True)
+
+
+def test_partials_match_jnp_accumulate():
+    """emit_partials mode: raw sums + Welford Moments from the megakernel
+    must match render.accumulate_frame on the same lattice (up to isolated
+    fp trajectory flips), and Chan-merge across two pallas batches must
+    equal one monolithic batch."""
+    from pathtrace_tpu.ops.pallas_trace import render_partials_pallas
+    from pathtrace_tpu.ops.variance import merge_moments
+    from pathtrace_tpu.render import accumulate_frame
+
+    scene, cam = cornell_box(), Camera.create()
+    cfg_j = RenderConfig(width=128, height=16, spp=4, max_bounces=3, backend="jnp")
+    cfg_p = dataclasses.replace(cfg_j, backend="pallas")
+    s_j, m_j = accumulate_frame(scene, cam, cfg_j, 0)
+    s_p, m_p = render_partials_pallas(scene, cam, cfg_p, 0, 0, interpret=True)
+    # Identical lattice: agreement everywhere except (rarely) a pixel whose
+    # fp trajectory flips at a silhouette.
+    for k in s_j:
+        d = np.abs(np.asarray(s_p[k]) - np.asarray(s_j[k]))
+        scale = max(float(np.abs(np.asarray(s_j[k])).max()), 1e-6)
+        assert float((d > 1e-3 * scale).mean()) < 0.005, k
+    np.testing.assert_array_equal(np.asarray(m_p["color"].n), np.asarray(m_j["color"].n))
+
+    # Associative merge: 2+2 spp pallas batches == 4 spp pallas batch.
+    half = dataclasses.replace(cfg_p, spp=2)
+    s_a, m_a = render_partials_pallas(scene, cam, half, 0, 0, interpret=True)
+    s_b, m_b = render_partials_pallas(scene, cam, half, 0, 2, interpret=True)
+    for k in s_a:
+        np.testing.assert_allclose(
+            np.asarray(s_a[k] + s_b[k]), np.asarray(s_p[k]), rtol=1e-5, atol=1e-4
+        )
+    merged = merge_moments(m_a["color"], m_b["color"])
+    np.testing.assert_allclose(
+        np.asarray(merged.m2), np.asarray(m_p["color"].m2), rtol=1e-4, atol=1e-4
+    )
