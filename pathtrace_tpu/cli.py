@@ -57,6 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0, help="RNG seed")
     p.add_argument("--frames", type=int, default=0,
                    help="Interactive mode: stop after N frames (0 = until interrupted)")
+    p.add_argument("--viewer", action="store_true",
+                   help="Serve a live browser viewer (WASD/mouse/TAB — the "
+                        "reference's GLFW window, Window.h:16-193) instead of "
+                        "the headless frame writer")
+    p.add_argument("--viewer-port", type=int, default=8764)
+    p.add_argument("--metrics", type=str, default=None,
+                   help="Append per-frame/per-step JSONL metrics to this file")
     p.add_argument("--checkpoint", type=str, default="denoise_cnn_ckpt",
                    help="Denoise-CNN checkpoint directory (for --denoising)")
     p.add_argument("--exr-compression", choices=["none", "zips", "zip"], default="zip")
@@ -112,11 +119,18 @@ def main(argv=None) -> int:
     )
 
     with jax.default_device(device):
+        if args.viewer:
+            from pathtrace_tpu.viewer import serve
+
+            serve(scene, cam, cfg, denoising=args.denoising,
+                  checkpoint=args.checkpoint, port=args.viewer_port)
+            return 0
         if args.interactive:
             from pathtrace_tpu.interactive import run_interactive
 
             run_interactive(scene, cam, cfg, denoising=args.denoising,
-                            max_frames=args.frames, checkpoint=args.checkpoint)
+                            max_frames=args.frames, checkpoint=args.checkpoint,
+                            metrics_path=args.metrics)
             return 0
 
         # Single-frame (data collection) mode: render, report ms/fps, save.

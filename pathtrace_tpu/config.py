@@ -79,9 +79,8 @@ class RenderConfig:
     # "glossy" — the reference's commented-out "makeshift glossy BRDF"
     # experiment (pathtrace.cu:181-184: reflect the sampled direction about
     # the normal, perturb by 0.01*uniform3 - 0.005, renormalize), shipped
-    # here as a working option. Glossy runs on the jnp backend (it draws 3
-    # extra uniforms per bounce, a different RNG lattice than the Pallas
-    # megakernel's).
+    # here as a working option on BOTH backends (each draws the same
+    # 5-slot-per-bounce lattice: 2 cosine + 3 perturbation uniforms).
     brdf: str = "diffuse"
 
     @property

@@ -95,16 +95,20 @@ def run_interactive(
     out_dir: str = "output/frames",
     script=None,
     logger=print,
+    metrics_path: Optional[str] = None,
 ):
     """Headless interactive loop: renders frames along a camera script
     (default: slow strafe + look, exercising the WASD/mouse paths), writes
     each frame as BMP, prints per-frame ms/fps like the reference's render
-    loop. Ctrl-C or ``max_frames`` ends the session."""
+    loop, and (optionally) appends a per-frame JSONL record (SURVEY §5
+    structured metrics). Ctrl-C or ``max_frames`` ends the session."""
     from pathtrace_tpu.io.bmp import write_bmp
+    from pathtrace_tpu.utils.metrics import JsonlLogger
 
     os.makedirs(out_dir, exist_ok=True)
     stepper = FrameStepper(scene, camera, cfg, denoising, checkpoint)
     n = max_frames if max_frames > 0 else 10_000_000
+    metrics = JsonlLogger(metrics_path)
     try:
         for i in range(n):
             if script is not None:
@@ -119,6 +123,15 @@ def run_interactive(
                 f"({1000.0 / max(stepper.last_ms, 1e-9):.1f} fps)"
                 + (" [denoised]" if stepper.denoising else "")
             )
+            metrics.log(
+                "frame",
+                frame=i,
+                ms=stepper.last_ms,
+                fps=1000.0 / max(stepper.last_ms, 1e-9),
+                denoised=stepper.denoising,
+            )
     except KeyboardInterrupt:
         logger("interrupted")
+    finally:
+        metrics.close()
     return stepper

@@ -53,6 +53,34 @@ def write_bmp(path, image: np.ndarray, backend: str = "auto"):
         f.write(rows.tobytes())
 
 
+def encode_bmp(image: np.ndarray) -> bytes:
+    """In-memory 24-bit BMP (the live viewer's wire format). Same layout as
+    write_bmp's pure-Python path."""
+    img = np.asarray(image)
+    if img.ndim == 2:
+        img = img[..., None]
+    if img.shape[-1] == 1:
+        img = np.repeat(img, 3, axis=-1)
+    if img.dtype != np.uint8:
+        img = np.clip(255.0 * img.astype(np.float64), 0, 255).astype(np.uint8)
+    h, w, _ = img.shape
+    row_size = (w * 3 + 3) & ~3
+    data_size = row_size * h
+    header_size = 14 + 40
+    rows = np.zeros((h, row_size), np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    return b"".join(
+        (
+            b"BM",
+            struct.pack("<IHHI", header_size + data_size, 0, 0, header_size),
+            struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0
+            ),
+            rows.tobytes(),
+        )
+    )
+
+
 def read_bmp(path) -> np.ndarray:
     """Read a 24-bit uncompressed BMP back to [H, W, 3] uint8 (for tests)."""
     with open(path, "rb") as f:

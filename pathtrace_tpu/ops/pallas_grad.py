@@ -49,6 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pathtrace_tpu.config import RenderConfig
 from pathtrace_tpu.ops.pallas_trace import (
+    make_seed_array,
     T_BIG,
     TWO_PI,
     _dot3,
@@ -68,7 +69,7 @@ GRAD_COLS = 128  # lane-aligned; cols 0-2 d_emission, 3-5 d_color
 def _color_grad_kernel(
     scene_ref,  # SMEM [N, 10]
     cam_ref,  # SMEM [5, 3]
-    seed_ref,  # SMEM [3]: seed, frame, sample offset
+    seed_ref,  # SMEM [5]: seed, frame, sample/row/col offsets
     ct_ref,  # VMEM [3, TH, TW]: dL/d(color sum) per pixel (1/spp folded in)
     grad_ref,  # VMEM [GRAD_ROWS, GRAD_COLS]: shared accumulator block
     *,
@@ -87,8 +88,8 @@ def _color_grad_kernel(
     first = (ti == 0) & (tj == 0)
 
     shape = (tile_h, tile_w)
-    rows_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + ti * tile_h
-    cols_i = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + tj * tile_w
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + ti * tile_h + seed_ref[3]
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + tj * tile_w + seed_ref[4]
     rows = rows_i.astype(jnp.float32)
     cols = cols_i.astype(jnp.float32)
     pix_key = _mix32(rows_i * _P_GOLD ^ (cols_i * _P_ROW))
@@ -324,7 +325,7 @@ def _color_grad_kernel(
 def _fused_loss_grad_kernel(
     scene_ref,  # SMEM [N, 10]
     cam_ref,  # SMEM [5, 3]
-    seed_ref,  # SMEM [3]: seed, frame, sample offset
+    seed_ref,  # SMEM [5]: seed, frame, sample/row/col offsets
     *refs,  # fused: (target, grad, color); dump: (acc, color)
     mode: str = "fused",
     num_spheres: int,
@@ -372,8 +373,8 @@ def _fused_loss_grad_kernel(
     first = (ti == 0) & (tj == 0)
 
     shape = (tile_h, tile_w)
-    rows_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + ti * tile_h
-    cols_i = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + tj * tile_w
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + ti * tile_h + seed_ref[3]
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + tj * tile_w + seed_ref[4]
     rows = rows_i.astype(jnp.float32)
     cols = cols_i.astype(jnp.float32)
     pix_key = _mix32(rows_i * _P_GOLD ^ (cols_i * _P_ROW))
@@ -650,13 +651,25 @@ def fused_loss_grads_pallas(
     scene, cam, cfg: RenderConfig, frame, target, interpret: bool = False
 ):
     """(loss, d_emission [N,3], d_color [N,3], color [H,W,3]) of the
-    mean-squared pixel loss vs ``target`` — ONE kernel, ONE trajectory pass
-    (see _fused_loss_grad_kernel). loss = sum((mean-target)^2)/(H*W*3)."""
+    mean-squared pixel loss vs ``target``. For the diffuse gathering path:
+    ONE kernel, ONE trajectory pass (see _fused_loss_grad_kernel);
+    NEE/glossy configs dispatch to the in-kernel-AD backward
+    (ops/pallas_ad.py — forward + AD replay, still all-Pallas)."""
     if cfg.nee or cfg.brdf != "diffuse":
-        raise NotImplementedError(
-            "the Pallas backward implements the diffuse gathering path; "
-            "use the jnp grad path (grad.py) for NEE/glossy configs"
+        from pathtrace_tpu.ops.pallas_ad import ad_aov_grads_pallas
+        from pathtrace_tpu.ops.pallas_trace import render_color_sums_pallas
+
+        color = (
+            render_color_sums_pallas(scene, cam, cfg, frame, interpret=interpret)
+            / cfg.spp
         )
+        diff = color - target
+        denom = cfg.height * cfg.width * 3
+        loss = jnp.sum(diff * diff) / denom
+        d_scene, _d_cam = ad_aov_grads_pallas(
+            scene, cam, cfg, frame, ct_color=2.0 * diff / denom, interpret=interpret
+        )
+        return loss, d_scene.emission, d_scene.color, color
     tile_h, tile_w = cfg.tile_shape
     tile_h = max(8, tile_h)
     tile_w = max(128, _round_up(min(tile_w, cfg.width), 128))
@@ -666,13 +679,7 @@ def fused_loss_grads_pallas(
     scene_params = _pack_scene(scene)
     basis = cam.eye_ray_basis(cfg.width, cfg.height)
     cam_params = jnp.concatenate([cam.position[None, :], basis], axis=0)
-    seed_arr = jnp.stack(
-        [
-            jnp.asarray(cfg.seed & 0x7FFFFFFF, jnp.int32),
-            jnp.asarray(frame, jnp.int32),
-            jnp.asarray(0, jnp.int32),
-        ]
-    )
+    seed_arr = make_seed_array(cfg, frame)
     tgt = jnp.moveaxis(target, -1, 0)  # [3, H, W]
     tgt = jnp.pad(tgt, ((0, 0), (0, pad_h - cfg.height), (0, pad_w - cfg.width)))
 
@@ -734,11 +741,16 @@ def render_grad_acc_pallas(scene, cam, cfg: RenderConfig, frame, interpret: bool
     restricted to this pixel (cotangent-free, spp-averaged): contracting
     ``sum(ct[..., ch%3] * acc[..., i*6+ch])`` over pixels yields the exact
     gradient of ``sum(ct * mean_color)`` for ANY per-pixel cotangent ct —
-    see _fused_loss_grad_kernel mode="dump"."""
+    see _fused_loss_grad_kernel mode="dump".
+
+    Diffuse gathering only BY DESIGN: the per-pixel accumulator trick
+    relies on the gradient being a 6N-channel linear functional of the
+    cotangent; NEE/glossy callers (pallas_cross_grads) replay through the
+    in-kernel-AD backward instead."""
     if cfg.nee or cfg.brdf != "diffuse":
-        raise NotImplementedError(
-            "the Pallas backward implements the diffuse gathering path; "
-            "use the jnp grad path (grad.py) for NEE/glossy configs"
+        raise ValueError(
+            "render_grad_acc_pallas is the diffuse-gathering accumulator "
+            "dump; NEE/glossy cross-estimator steps use the AD replay path"
         )
     tile_h, tile_w = cfg.tile_shape
     tile_h = max(8, tile_h)
@@ -749,13 +761,7 @@ def render_grad_acc_pallas(scene, cam, cfg: RenderConfig, frame, interpret: bool
     scene_params = _pack_scene(scene)
     basis = cam.eye_ray_basis(cfg.width, cfg.height)
     cam_params = jnp.concatenate([cam.position[None, :], basis], axis=0)
-    seed_arr = jnp.stack(
-        [
-            jnp.asarray(cfg.seed & 0x7FFFFFFF, jnp.int32),
-            jnp.asarray(frame, jnp.int32),
-            jnp.asarray(0, jnp.int32),
-        ]
-    )
+    seed_arr = make_seed_array(cfg, frame)
     n6 = scene.num_objects * 6
     grid = (pad_h // tile_h, pad_w // tile_w)
     kernel = functools.partial(
@@ -805,12 +811,17 @@ def render_color_grads_pallas(
     """(d_emission [N, 3], d_color [N, 3]) of L = sum(cotangent * color_mean).
 
     cotangent: [H, W, 3] pixel cotangents (w.r.t. the spp-averaged color).
+    NEE/glossy configs dispatch to the in-kernel-AD replay (pallas_ad.py),
+    which also carries geometry/camera gradients — here only the
+    emission/albedo components are returned for signature parity.
     """
     if cfg.nee or cfg.brdf != "diffuse":
-        raise NotImplementedError(
-            "the Pallas backward implements the diffuse gathering path; "
-            "use the jnp grad path (grad.py) for NEE/glossy configs"
+        from pathtrace_tpu.ops.pallas_ad import ad_aov_grads_pallas
+
+        d_scene, _ = ad_aov_grads_pallas(
+            scene, cam, cfg, frame, ct_color=cotangent, interpret=interpret
         )
+        return d_scene.emission, d_scene.color
     tile_h, tile_w = cfg.tile_shape
     tile_h = max(8, tile_h)
     tile_w = max(128, _round_up(min(tile_w, cfg.width), 128))
@@ -820,13 +831,7 @@ def render_color_grads_pallas(
     scene_params = _pack_scene(scene)
     basis = cam.eye_ray_basis(cfg.width, cfg.height)
     cam_params = jnp.concatenate([cam.position[None, :], basis], axis=0)
-    seed_arr = jnp.stack(
-        [
-            jnp.asarray(cfg.seed & 0x7FFFFFFF, jnp.int32),
-            jnp.asarray(frame, jnp.int32),
-            jnp.asarray(0, jnp.int32),
-        ]
-    )
+    seed_arr = make_seed_array(cfg, frame)
     # Fold the spp average into the cotangent; pad to the tile grid.
     ct = jnp.moveaxis(cotangent, -1, 0) / cfg.spp  # [3, H, W]
     ct = jnp.pad(ct, ((0, 0), (0, pad_h - cfg.height), (0, pad_w - cfg.width)))
@@ -878,19 +883,44 @@ def pallas_cross_grads(scene, cam, cfg: RenderConfig, step, target, interpret: b
     all-Pallas inverse-rendering step (see inverse.py for why plain L2 on
     one noisy render is biased).
 
-    d/dp = mean(dA/dp * (B - T)) + mean((A - T) * dB/dp). TWO trajectory
-    passes total: each render is ONE mode="dump" kernel producing its color
-    and cotangent-free per-pixel gradient accumulators; the cross
-    cotangents (each side needs the OTHER side's residual, unknowable
-    until both have rendered) are contracted in a cheap jnp epilogue.
+    d/dp = mean(dA/dp * (B - T)) + mean((A - T) * dB/dp). Diffuse gathering:
+    TWO trajectory passes total — each render is ONE mode="dump" kernel
+    producing its color and cotangent-free per-pixel gradient accumulators;
+    the cross cotangents (each side needs the OTHER side's residual,
+    unknowable until both have rendered) are contracted in a cheap jnp
+    epilogue. NEE/glossy: forward megakernel for each side + an in-kernel-AD
+    replay against the cross cotangents (four passes; grads gain
+    position/radius and are returned in the dict too).
     """
     frame_a = 2 * step
     frame_b = 2 * step + 1
+    denom = cfg.height * cfg.width * 3
+
+    if cfg.nee or cfg.brdf != "diffuse":
+        from pathtrace_tpu.ops.pallas_ad import ad_aov_grads_pallas
+        from pathtrace_tpu.ops.pallas_trace import render_color_sums_pallas
+
+        a = render_color_sums_pallas(scene, cam, cfg, frame_a, interpret=interpret) / cfg.spp
+        b = render_color_sums_pallas(scene, cam, cfg, frame_b, interpret=interpret) / cfg.spp
+        ra, rb = a - target, b - target
+        loss = jnp.sum(ra * rb) / denom
+        ds_a, _ = ad_aov_grads_pallas(
+            scene, cam, cfg, frame_a, ct_color=rb / denom, interpret=interpret
+        )
+        ds_b, _ = ad_aov_grads_pallas(
+            scene, cam, cfg, frame_b, ct_color=ra / denom, interpret=interpret
+        )
+        return loss, {
+            "emission": ds_a.emission + ds_b.emission,
+            "color": ds_a.color + ds_b.color,
+            "position": ds_a.position + ds_b.position,
+            "radius": ds_a.radius + ds_b.radius,
+        }
+
     a, acc_a = render_grad_acc_pallas(scene, cam, cfg, frame_a, interpret)
     b, acc_b = render_grad_acc_pallas(scene, cam, cfg, frame_b, interpret)
     ra = a - target
     rb = b - target
-    denom = cfg.height * cfg.width * 3
     loss = jnp.sum(ra * rb) / denom
 
     n = scene.num_objects
@@ -908,11 +938,18 @@ def pallas_cross_grads(scene, cam, cfg: RenderConfig, step, target, interpret: b
 
 def pallas_loss_and_grads(scene, cam, cfg: RenderConfig, frame, target, interpret: bool = False):
     """(loss, (d_scene, d_camera)) of the mean-squared pixel loss — the
-    all-Pallas fwd+bwd path. Geometry/camera gradients are exactly zero
-    for this loss under the detached estimator (use the jnp path with NEE
-    or the geometry AOV probes for those)."""
+    all-Pallas fwd+bwd path for EVERY config. Diffuse/no-NEE: the
+    single-pass fused kernel (geometry/camera gradients are exactly zero
+    for that estimator, so the zero blocks are correct, not placeholders).
+    NEE/glossy: the in-kernel-AD backward (pallas_ad.py) with full
+    geometry + camera gradients."""
     from pathtrace_tpu.camera import Camera
     from pathtrace_tpu.scene import Scene
+
+    if cfg.nee or cfg.brdf != "diffuse":
+        from pathtrace_tpu.ops.pallas_ad import ad_loss_and_grads_pallas
+
+        return ad_loss_and_grads_pallas(scene, cam, cfg, frame, target, interpret)
 
     loss, d_e, d_c, _color = fused_loss_grads_pallas(
         scene, cam, cfg, frame, target, interpret

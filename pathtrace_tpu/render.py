@@ -216,8 +216,6 @@ def render_aovs(scene, cam, cfg: RenderConfig, frame=0) -> Dict[str, jnp.ndarray
     backend = cfg.backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
-    if cfg.brdf != "diffuse":
-        backend = "jnp"  # glossy draws a wider RNG lattice (see config)
     if backend == "pallas":
         from pathtrace_tpu.ops import pallas_trace
 

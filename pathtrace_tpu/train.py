@@ -237,6 +237,27 @@ def build_dataset(
     return np.concatenate(xs), np.concatenate(ys)
 
 
+def dp_sharding(batch_size: int, devices=None):
+    """Batch-axis NamedSharding over the most local devices that divide
+    ``batch_size`` (the reference's batch of 5 uses 5 of 8 chips; a batch
+    of 8 uses all 8). Device-count 1 returns None (plain single-device).
+
+    DP here is EXACT single-device semantics, not an approximation: the
+    jitted step sees one logical batch with a sharded leading axis, so the
+    L1 mean and the BatchNorm batch statistics are computed globally (XLA
+    inserts the cross-device reductions), bit-matching the unsharded step
+    up to reduction order — asserted by tests/test_train.py."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if devices is None:
+        devices = jax.local_devices()
+    n_use = max(d for d in range(1, len(devices) + 1) if batch_size % d == 0)
+    if n_use == 1:
+        return None
+    mesh = Mesh(np.asarray(devices[:n_use]), ("batch",))
+    return NamedSharding(mesh, P("batch"))
+
+
 def fit(
     model,
     state: TrainState,
@@ -250,28 +271,44 @@ def fit(
     ckpt_every: int = 50,
     val=None,
     logger=print,
+    data_parallel: bool = True,
+    metrics=None,
 ):
     """Epoch loop: shuffle, minibatch SGD, plateau LR; every ``ckpt_every``
     epochs checkpoint + (if ``val=(vx, vy)`` given) validate with PSNR and
     dump ``{epoch}_gt`` / ``{epoch}_out`` preview images — the reference's
-    50-epoch cadence (train.py:110-119). Returns (state, history)."""
+    50-epoch cadence (train.py:110-119). Minibatches shard over local
+    devices (batch DP — see dp_sharding); ``metrics`` is an optional
+    JsonlLogger receiving one per-epoch record. Returns (state, history)."""
+    from pathtrace_tpu.utils.metrics import JsonlLogger
+
+    metrics = metrics if metrics is not None else JsonlLogger(None)
     rng = np.random.default_rng(seed)
     n = inputs.shape[0]
+    sharding = dp_sharding(batch_size) if data_parallel else None
     history = []
     for _ in range(epochs):
+        t0 = time.perf_counter()
         order = rng.permutation(n)
         epoch_loss, batches = 0.0, 0
         for i in range(0, n - batch_size + 1, batch_size):
             idx = order[i : i + batch_size]
-            state, loss = train_step(
-                model, state, jnp.asarray(inputs[idx]), jnp.asarray(targets[idx])
-            )
+            batch = jnp.asarray(inputs[idx])
+            target = jnp.asarray(targets[idx])
+            if sharding is not None:
+                batch = jax.device_put(batch, sharding)
+                target = jax.device_put(target, sharding)
+            state, loss = train_step(model, state, batch, target)
             epoch_loss += float(loss)
             batches += 1
         avg = epoch_loss / max(batches, 1)
         state = plateau_update(state, jnp.asarray(avg, jnp.float32))
         history.append(avg)
         epoch = int(state.epoch)
+        epoch_s = time.perf_counter() - t0
+        metrics.log(
+            "epoch", epoch=epoch, loss=avg, lr=float(state.lr), seconds=epoch_s
+        )
         if log_every and epoch % log_every == 0:
             logger(f"===> Epoch {epoch} Complete: Avg. Loss: {avg:.7f}")
         if ckpt_dir and epoch % ckpt_every == 0:
@@ -284,6 +321,12 @@ def fit(
                 logger(
                     f"===> Avg. Loss: {float(vloss):.7f}, "
                     f"Avg. PSNR: {float(psnr):.4f} dB"
+                )
+                metrics.log(
+                    "validate",
+                    epoch=epoch,
+                    val_loss=float(vloss),
+                    psnr_db=float(psnr),
                 )
                 from pathtrace_tpu.io.bmp import write_bmp
 
@@ -323,7 +366,12 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="Train denoising algorithm")
     p.add_argument("--name", type=str, help="Name for output directory")
     p.add_argument("--resume", type=str, help="Name of output directory")
-    p.add_argument("--resume-epoch", type=int, help="Epoch # to start at (cosmetic; state carries the true epoch)")
+    p.add_argument(
+        "--resume-epoch",
+        type=int,
+        help="Epoch # to start at; overrides the checkpoint's own counter "
+        "(reference denoise_cnn/train.py:82,91)",
+    )
     p.add_argument("--epochs", type=int, default=400000)
     p.add_argument("--size", type=int, default=256, help="Render size for data collection")
     p.add_argument("--poses", type=int, default=33)
@@ -371,6 +419,15 @@ def main(argv=None) -> int:
         model, state = load_checkpoint(
             base_dir, sample_shape=(args.patch_size, args.patch_size, 14)
         )
+        print(f"===> Resumed at epoch {int(state.epoch)}")
+        if args.resume_epoch is not None and args.resume_epoch != int(state.epoch):
+            print(
+                f"===> --resume-epoch {args.resume_epoch} overrides the "
+                f"checkpoint's epoch counter ({int(state.epoch)})"
+            )
+            state = state._replace(
+                epoch=jnp.asarray(args.resume_epoch, jnp.int32)
+            )
     else:
         base_dir = os.path.join("results", str(int(time.time()))[2:])
         if args.name:
@@ -381,17 +438,21 @@ def main(argv=None) -> int:
         )
     os.makedirs(base_dir, exist_ok=True)
 
-    state, _ = fit(
-        model,
-        state,
-        inputs,
-        targets,
-        epochs=args.epochs,
-        batch_size=args.batch,
-        ckpt_dir=base_dir,
-        log_every=1,
-        val=(vx, vy),
-    )
+    from pathtrace_tpu.utils.metrics import JsonlLogger
+
+    with JsonlLogger(os.path.join(base_dir, "metrics.jsonl")) as metrics:
+        state, _ = fit(
+            model,
+            state,
+            inputs,
+            targets,
+            epochs=args.epochs,
+            batch_size=args.batch,
+            ckpt_dir=base_dir,
+            log_every=1,
+            val=(vx, vy),
+            metrics=metrics,
+        )
     save_checkpoint(base_dir, state, model)
     return 0
 

@@ -44,6 +44,7 @@ def test_color_statistics_match(pair):
     assert abs(rc.mean() - pc.mean()) < 0.02
 
 
+@pytest.mark.slow
 def test_moments_match_at_higher_spp():
     scene, cam = cornell_box(), Camera.create()
     cfg = RenderConfig(width=128, height=16, spp=16, backend="jnp")
@@ -73,6 +74,7 @@ def test_packed_channel_layout():
     assert buf.shape == (8, 128, 14)
 
 
+@pytest.mark.slow
 def test_seed_and_frame_change_samples():
     scene, cam = cornell_box(), Camera.create()
     cfg = RenderConfig(width=128, height=8, spp=2)
@@ -114,21 +116,50 @@ def test_nee_matches_jnp_backend():
     assert float(d.mean()) < 1e-3
 
 
-def test_pallas_grads_reject_nee_and_glossy():
-    import pytest
-
-    import jax.numpy as jnp
-
-    from pathtrace_tpu.ops.pallas_grad import fused_loss_grads_pallas
+def test_glossy_matches_jnp_backend():
+    """Glossy BRDF in the megakernel vs the jnp path on the same 5-slot
+    lattice (VERDICT round-1 item #3): both backends renormalize/reflect/
+    perturb identically, so images agree up to isolated fp silhouette
+    flips from trajectory divergence."""
+    from pathtrace_tpu.render import _render_aovs_jnp, pack_channels
 
     scene, cam = cornell_box(), Camera.create()
-    tgt = jnp.zeros((8, 128, 3), jnp.float32)
-    for bad in (
-        RenderConfig(width=128, height=8, spp=1, nee=True),
-        RenderConfig(width=128, height=8, spp=1, brdf="glossy"),
-    ):
-        with pytest.raises(NotImplementedError):
-            fused_loss_grads_pallas(scene, cam, bad, 0, tgt, interpret=True)
+    cfg = RenderConfig(
+        width=128, height=16, spp=4, max_bounces=3, brdf="glossy", backend="jnp"
+    )
+    jb = np.asarray(pack_channels(_render_aovs_jnp(scene, cam, cfg, 0)))
+    pb = np.asarray(render_channels_pallas(scene, cam, cfg, 0, interpret=True))
+    d = np.abs(jb[..., 0:3] - pb[..., 0:3])
+    assert float((d > 0.01).mean()) < 0.005
+    assert float(d.mean()) < 1e-3
+    # Glossy actually differs from diffuse on this scene.
+    diff_cfg = dataclasses.replace(cfg, brdf="diffuse")
+    db = np.asarray(pack_channels(_render_aovs_jnp(scene, cam, diff_cfg, 0)))
+    assert np.abs(jb[..., 0:3] - db[..., 0:3]).max() > 0.05
+
+
+def test_sample_offset_slices_global_lattice():
+    """row/sample offsets address the global lattice: a slab render at
+    row_offset r equals rows [r, r+local_h) of the full-frame render."""
+    import jax
+
+    from pathtrace_tpu.ops.pallas_trace import accumulate_frame_pallas, render_partials_pallas
+
+    scene, cam = cornell_box(), Camera.create()
+    cfg = RenderConfig(width=128, height=32, spp=2, max_bounces=2)
+    s_full, m_full = render_partials_pallas(scene, cam, cfg, 0, 0, interpret=True)
+    slab = jax.jit(
+        lambda s, c: accumulate_frame_pallas(
+            s, c, cfg, 0, row_offset=16, local_h=16, interpret=True
+        )
+    )(scene, cam)
+    s_slab, m_slab = slab
+    np.testing.assert_array_equal(
+        np.asarray(s_slab["color"]), np.asarray(s_full["color"][16:32])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m_slab["depth"].m2), np.asarray(m_full["depth"].m2[16:32])
+    )
 
 
 def test_partials_match_jnp_accumulate():

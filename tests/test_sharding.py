@@ -41,6 +41,44 @@ def test_sharded_matches_single_chip(setup, tiles, samples):
         )
 
 
+@pytest.mark.parametrize("tiles,samples", [(8, 1), (2, 4)])
+def test_sharded_pallas_matches_single_chip_pallas(setup, tiles, samples):
+    """The megakernel under shard_map (VERDICT round-1 item #1): every
+    device runs the Pallas kernel on its (row-slab, spp-range) shard with
+    absolute-coordinate RNG offsets, so the sharded render reproduces the
+    single-chip megakernel lattice exactly (merges only reassociate)."""
+    from pathtrace_tpu.ops.pallas_trace import render_channels_pallas
+
+    scene, cam = setup
+    cfg = RenderConfig(width=128, height=16, spp=8, backend="pallas", seed=2)
+    mesh = make_mesh(tiles=tiles, samples=samples)
+    ref = np.asarray(render_channels_pallas(scene, cam, cfg, interpret=True))
+    out = np.asarray(
+        render_channels_sharded(scene, cam, cfg, mesh, interpret=True)
+    )
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out[..., :10], ref[..., :10], rtol=1e-4, atol=1e-4)
+    for c in range(10, 14):
+        scale = max(np.abs(ref[..., c]).max(), 1e-3)
+        np.testing.assert_allclose(
+            out[..., c] / scale, ref[..., c] / scale, atol=2e-3
+        )
+
+
+def test_sharded_pallas_matches_jnp_sharded(setup):
+    """Both backends under the SAME mesh draw the same lattice."""
+    scene, cam = setup
+    mesh = make_mesh(tiles=4, samples=2)
+    cfg_p = RenderConfig(width=128, height=16, spp=4, backend="pallas", seed=2)
+    cfg_j = RenderConfig(width=128, height=16, spp=4, backend="jnp", seed=2)
+    out_p = np.asarray(render_channels_sharded(scene, cam, cfg_p, mesh, interpret=True))
+    out_j = np.asarray(render_channels_sharded(scene, cam, cfg_j, mesh))
+    d = np.abs(out_p[..., :10] - out_j[..., :10])
+    scale = max(float(np.abs(out_j[..., :10]).max()), 1e-6)
+    # Identical lattice: agreement except isolated fp silhouette flips.
+    assert float((d > 1e-3 * scale).mean()) < 0.005
+
+
 def test_mesh_factorization_requires_divisibility(setup):
     scene, cam = setup
     mesh = make_mesh(tiles=8, samples=1)
@@ -58,6 +96,7 @@ def test_make_mesh_shapes():
         make_mesh(tiles=3)
 
 
+@pytest.mark.slow
 def test_sharded_grads_match_single_chip(setup):
     scene, cam = setup
     cfg = RenderConfig(width=32, height=32, spp=4, backend="jnp", seed=2)
@@ -77,6 +116,28 @@ def test_sharded_grads_match_single_chip(setup):
     )
 
 
+def test_sharded_pallas_grads_match_jnp(setup):
+    """All-Pallas SPMD fwd+bwd (megakernel + in-kernel-AD replay under
+    shard_map) matches the single-chip jnp gradient on the same lattice."""
+    scene, cam = setup
+    cfg_p = RenderConfig(width=128, height=16, spp=2, backend="pallas", seed=2,
+                         max_bounces=2)
+    cfg_j = RenderConfig(width=128, height=16, spp=2, backend="jnp", seed=2,
+                         max_bounces=2)
+    target = jnp.zeros((16, 128, 3), jnp.float32)
+    mesh = make_mesh(tiles=4, samples=2)
+    loss_p, (ds_p, dc_p) = sharded_loss_grads(
+        scene, cam, cfg_p, mesh, target, interpret=True
+    )
+    loss_j, (ds_j, dc_j) = render_loss_grads(scene, cam, cfg_j, target=target)
+    np.testing.assert_allclose(float(loss_p), float(loss_j), rtol=1e-4)
+    for name in ("emission", "color"):
+        g, w = np.asarray(getattr(ds_p, name)), np.asarray(getattr(ds_j, name))
+        scale = max(float(np.abs(w).max()), 1e-12)
+        np.testing.assert_allclose(g, w, rtol=2e-3, atol=1e-5 * scale, err_msg=name)
+
+
+@pytest.mark.slow
 def test_sharded_loss_same_on_all_shards(setup):
     """The loss out-spec P() asserts replication; value must be finite."""
     scene, cam = setup

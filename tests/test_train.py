@@ -33,6 +33,7 @@ def tiny_data():
     return x, y
 
 
+@pytest.mark.slow
 def test_train_step_descends(tiny_data):
     x, y = tiny_data
     state = create_state(jax.random.key(0), TINY, (32, 32, 14))
@@ -106,6 +107,60 @@ def test_fit_loop(tiny_data):
     state, history = fit(TINY, state, x, y, epochs=3, batch_size=5, log_every=0)
     assert len(history) == 3
     assert int(state.epoch) == 3
+
+
+def test_batch_dp_matches_single_device(tiny_data):
+    """Batch DP (dp_sharding over the CPU mesh) is EXACT single-device
+    semantics: the sharded step produces the same loss and parameters
+    (global L1 mean + global BatchNorm stats via XLA collectives)."""
+    from pathtrace_tpu.train import dp_sharding
+
+    x, y = tiny_data
+    batch = jnp.asarray(x[:8])
+    target = jnp.asarray(y[:8])
+    sharding = dp_sharding(8)
+    assert sharding is not None, "conftest provides 8 CPU devices"
+    state_a = create_state(jax.random.key(0), TINY, (32, 32, 14))
+    state_b = create_state(jax.random.key(0), TINY, (32, 32, 14))
+    for _ in range(3):
+        state_a, loss_a = train_step(TINY, state_a, batch, target)
+        state_b, loss_b = train_step(
+            TINY,
+            state_b,
+            jax.device_put(batch, sharding),
+            jax.device_put(target, sharding),
+        )
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-5)
+    for a, b in zip(
+        jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_dp_sharding_device_choice():
+    from pathtrace_tpu.train import dp_sharding
+
+    s5 = dp_sharding(5)  # reference batch: 5 of the 8 devices
+    assert s5 is not None and s5.mesh.devices.size == 5
+    assert dp_sharding(7, devices=jax.devices()[:4]) is None  # 7 % {2,3,4} != 0
+
+
+def test_fit_writes_jsonl_metrics(tmp_path, tiny_data):
+    from pathtrace_tpu.utils.metrics import JsonlLogger
+
+    x, y = tiny_data
+    state = create_state(jax.random.key(0), TINY, (32, 32, 14))
+    path = str(tmp_path / "metrics.jsonl")
+    with JsonlLogger(path) as metrics:
+        fit(TINY, state, x, y, epochs=2, batch_size=5, log_every=0,
+            metrics=metrics)
+    import json
+
+    records = [json.loads(line) for line in open(path)]
+    assert [r["epoch"] for r in records if r["event"] == "epoch"] == [1, 2]
+    assert all("loss" in r and "lr" in r for r in records)
 
 
 def test_build_dataset_from_renders():
