@@ -26,6 +26,8 @@ def _prior_value() -> float | None:
         try:
             with open(path) as f:
                 rec = json.load(f)
+            if "value" not in rec and isinstance(rec.get("parsed"), dict):
+                rec = rec["parsed"]  # driver wraps the JSON line in "parsed"
             v = float(rec.get("value", 0.0))
             if v > 0 and (best is None or v > best):
                 best = v
@@ -95,6 +97,22 @@ def main() -> int:
         extras["pallas_fwd_ms"] = secs * 1e3
     else:
         headline = None
+
+    # -- Pallas megakernel under shard_map (1-device mesh) ------------------
+    # Gate: the sharded runtime must not tax the kernel — within ~10% of the
+    # unsharded megakernel (VERDICT round-1 item #1 done-criterion).
+    if backend in ("tpu", "axon"):
+        from pathtrace_tpu.parallel import make_mesh
+        from pathtrace_tpu.parallel.shard import render_channels_sharded
+
+        mesh1 = make_mesh(tiles=1, samples=1, devices=jax.devices()[:1])
+        secs_sh = per_frame_seconds(
+            lambda s, c, f: render_channels_sharded(s, c, cfg, mesh1, f)[0, 0, 0],
+            repeats=2,
+        )
+        extras["sharded_1dev_fwd_mrays"] = mrays_per_sec(
+            args.size, args.size, args.spp, args.bounces, secs_sh
+        )
 
     # -- Pallas forward+backward (emission/albedo product-chain kernel) -----
     if backend in ("tpu", "axon") and not args.no_grad:

@@ -51,6 +51,7 @@ def make_inverse_step(
     target: jnp.ndarray,
     optimize: Sequence[str] = ("color",),
     learning_rate: float = 2e-2,
+    interpret: bool = False,
 ):
     """Returns (init_state, jitted step_fn, optimizer).
 
@@ -60,15 +61,21 @@ def make_inverse_step(
     tx = optax.adam(learning_rate)
     init_params = {name: getattr(base_scene, name) for name in optimize}
 
-    # All-Pallas fast path: the hand-derived product-chain backward kernel
-    # covers emission/albedo (geometry grads are exactly zero for the pure
-    # emission-gathering estimator — grad.py docs), so when only those are
-    # optimized and NEE is off the whole step runs as TPU megakernels.
-    use_pallas = (
-        cfg.backend == "pallas"
-        and not cfg.nee
-        and set(optimize) <= {"color", "emission"}
-    )
+    # All-Pallas fast path. Diffuse/no-NEE: the hand-derived product-chain
+    # backward covers emission/albedo in two trajectory passes (geometry
+    # grads are exactly zero for the pure emission-gathering estimator —
+    # grad.py docs). NEE/glossy: pallas_cross_grads replays through the
+    # in-kernel-AD backward (ops/pallas_ad.py), which also carries
+    # position/radius — so geometry optimization runs all-Pallas too
+    # (enable cfg.nee, the estimator that makes geometry differentiable).
+    if cfg.backend == "pallas":
+        if not cfg.nee and cfg.brdf == "diffuse":
+            pallas_fields = {"color", "emission"}
+        else:
+            pallas_fields = {"color", "emission", "position", "radius"}
+        use_pallas = set(optimize) <= pallas_fields
+    else:
+        use_pallas = False
 
     @jax.jit
     def step_fn(state: InverseState):
@@ -80,7 +87,9 @@ def make_inverse_step(
             from pathtrace_tpu.ops.pallas_grad import pallas_cross_grads
 
             scene = _apply_params(base_scene, state.params)
-            loss, d_scene = pallas_cross_grads(scene, cam, cfg, state.step, target)
+            loss, d_scene = pallas_cross_grads(
+                scene, cam, cfg, state.step, target, interpret=interpret
+            )
             grads = {}
             for name in optimize:
                 g = d_scene[name]

@@ -81,7 +81,6 @@ def _ad_grad_kernel(
 ):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
-    first = (ti == 0) & (tj == 0)
 
     shape = (tile_h, tile_w)
     rows_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + ti * tile_h + seed_ref[3]
@@ -137,15 +136,34 @@ def _ad_grad_kernel(
         _, vjp_fn = jax.vjp(f, sc, eye, basis)
         grads = vjp_fn(jnp.float32(1.0))
         flat = jax.tree_util.tree_leaves(grads)
-        return tuple(c + g for c, g in zip(carry, flat))
+        # Kahan-compensated accumulation: per-sample gradients of the
+        # geometry parameters cancel heavily (the r=1e5 wall spheres), so a
+        # plain f32 running sum loses ~1% of the NET value by spp 32.
+        # Kahan bounds the error at ~2 ulp of the largest partial
+        # independent of spp (Mosaic has no f64; this is the TPU-native
+        # equivalent).
+        sums, comps = carry
+        new_sums, new_comps = [], []
+        for s_, c_, g in zip(sums, comps, flat):
+            y = g - c_
+            t = s_ + y
+            new_comps.append((t - s_) - y)
+            new_sums.append(t)
+        return tuple(new_sums), tuple(new_comps)
 
     n_par = num_spheres * 10 + 3 + 12
-    init = (jnp.float32(0.0),) * n_par
-    acc = jax.lax.fori_loop(0, spp, sample_body, init, unroll=False)
+    zeros_par = (jnp.float32(0.0),) * n_par
+    (acc, _comp) = jax.lax.fori_loop(
+        0, spp, sample_body, (zeros_par, zeros_par), unroll=False
+    )
 
     # Scalar grads -> dense block rows: sphere i in row i (10 cols), eye in
     # row N (3 cols), basis corner k in row N+1+k (3 cols). Dense masked
-    # adds — scalar scatter into VMEM is slow on TPU.
+    # adds — scalar scatter into VMEM is slow on TPU. Each tile writes its
+    # OWN partial block (summed pairwise by the host epilogue): geometry
+    # gradients are heavy-cancellation sums, and sequentially accumulating
+    # ~128 tiles in one f32 block was measurably noisier at 512^2 x 32 spp
+    # than a tree reduction.
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (GRAD_ROWS, GRAD_COLS), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (GRAD_ROWS, GRAD_COLS), 1)
     update = jnp.zeros((GRAD_ROWS, GRAD_COLS), jnp.float32)
@@ -170,11 +188,7 @@ def _ad_grad_kernel(
             )
             k += 1
 
-    @pl.when(first)
-    def _():
-        grad_ref[...] = jnp.zeros((GRAD_ROWS, GRAD_COLS), jnp.float32)
-
-    grad_ref[...] += update
+    grad_ref[0] = update
 
 
 def _launch_ad_grads(
@@ -201,6 +215,7 @@ def _launch_ad_grads(
     )
 
     grid = (pad_h // tile_h, pad_w // tile_w)
+    n_gw = grid[1]
     kernel = functools.partial(
         _ad_grad_kernel,
         num_spheres=scene.num_objects,
@@ -215,7 +230,7 @@ def _launch_ad_grads(
         nee_light_index=cfg.light_index if cfg.nee else None,
         brdf=cfg.brdf,
     )
-    return pl.pallas_call(
+    per_tile = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -229,14 +244,22 @@ def _launch_ad_grads(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (GRAD_ROWS, GRAD_COLS), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+            (1, GRAD_ROWS, GRAD_COLS),
+            lambda i, j, n_gw=n_gw: (i * n_gw + j, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((GRAD_ROWS, GRAD_COLS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (grid[0] * grid[1], GRAD_ROWS, GRAD_COLS), jnp.float32
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
     )(scene_params, cam_params, seed_arr, ct)
+    # Pairwise tree-sum across tiles (XLA reduce): log2(n_tiles) rounding
+    # levels instead of the kernel-side sequential accumulation this
+    # replaced (see kernel note on cancellation).
+    return jnp.sum(per_tile, axis=0)
 
 
 def grads_from_block(scene, cam, cfg: RenderConfig, block):

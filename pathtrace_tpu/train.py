@@ -105,6 +105,50 @@ def train_step(model: DenoiseCNN, state: TrainState, batch, target):
     ), loss
 
 
+@partial(
+    jax.jit, static_argnames=("model", "batch_size"), donate_argnums=(1,)
+)
+def train_epoch(model: DenoiseCNN, state: TrainState, inputs, targets, perm,
+                batch_size: int):
+    """One FULL epoch in a single device program: ``lax.scan`` over the
+    shuffled minibatches. Semantically identical to looping ``train_step``
+    (same order, same updates) but costs ONE dispatch instead of
+    ``n_batches`` — the difference between ~10 ms and ~1 s of RPC latency
+    per epoch over a tunneled chip, and what makes reference-scale runs
+    (528 patches x thousands of epochs, denoise_cnn/train.py:87,109)
+    practical here. ``perm`` is the epoch's shuffled index vector [N]."""
+    tx = make_optimizer()
+    n_batches = perm.shape[0] // batch_size
+    idx = perm[: n_batches * batch_size].reshape(n_batches, batch_size)
+
+    def body(state, ids):
+        batch = jnp.take(inputs, ids, axis=0)
+        target = jnp.take(targets, ids, axis=0)
+
+        def loss_fn(params):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            return l1_loss(out, target), updates["batch_stats"]
+
+        (loss, batch_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = state.lr
+        updates, opt_state = tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state._replace(
+            params=params, batch_stats=batch_stats, opt_state=opt_state
+        ), loss
+
+    state, losses = jax.lax.scan(body, state, idx)
+    return state, jnp.mean(losses)
+
+
 def plateau_update(state: TrainState, epoch_loss) -> TrainState:
     """ReduceLROnPlateau('min', factor=0.5, patience=5000, threshold=1e-4)
     with torch's default relative threshold mode: an epoch counts as an
@@ -201,6 +245,22 @@ def load_checkpoint(ckpt_dir: str, rng_key=None, sample_shape=(64, 64, 14)):
 
 # -- dataset assembly (data.py:5-30 equivalent, in-process) ------------------
 
+def interior_pose(rng) -> tuple:
+    """A camera pose that looks INTO the Cornell box: position jittered
+    around the reference default (50, 52, 295.6), yaw around -90, modest
+    pitch. The reference's checked-in training data came from a curated
+    pose list (collect_data.py --list); its unused ``get_random_position``
+    ranges span mostly wall-facing views, so this sampler is the curated-
+    list analog for self-contained dataset builds."""
+    return (
+        float(rng.uniform(15.0, 85.0)),
+        float(rng.uniform(25.0, 80.0)),
+        float(rng.uniform(120.0, 295.0)),
+        float(rng.uniform(-125.0, -55.0)),
+        float(rng.uniform(-15.0, 15.0)),
+    )
+
+
 def build_dataset(
     scene,
     cfg,
@@ -211,19 +271,25 @@ def build_dataset(
     spp_gt: int = 64,
     seed: int = 0,
     save_dir=None,
+    poses=None,
+    pose_mode: str = "reference",
 ):
     """Render pose pairs and cut importance-sampled patches.
 
     Returns (inputs [N, p, p, 14] preprocessed, targets [N, p, p, 3]).
     The reference uses 33 poses x 16 patches of 256^2 (data.py:9-11);
     defaults here are scaled down for practicality and fully configurable.
+    ``poses`` overrides the sampler (the --list analog); otherwise
+    ``pose_mode`` picks "reference" (collect_data.py:8-14 ranges) or
+    "interior" (box-facing views — see interior_pose).
     """
     from pathtrace_tpu.data.collect import collect_dataset, random_pose
     from pathtrace_tpu.data.patches import get_patches
 
     rng = np.random.default_rng(seed)
-    poses = [random_pose(rng) for _ in range(n_poses)]
-    # Keep poses inside the box looking around: reuse reference ranges.
+    if poses is None:
+        sampler = interior_pose if pose_mode == "interior" else random_pose
+        poses = [sampler(rng) for _ in range(n_poses)]
     noisies, gts = collect_dataset(
         scene, poses, cfg, spp_train=spp_train, spp_gt=spp_gt, save_dir=save_dir
     )
@@ -273,35 +339,50 @@ def fit(
     logger=print,
     data_parallel: bool = True,
     metrics=None,
+    scan_epochs: bool = False,
 ):
     """Epoch loop: shuffle, minibatch SGD, plateau LR; every ``ckpt_every``
     epochs checkpoint + (if ``val=(vx, vy)`` given) validate with PSNR and
     dump ``{epoch}_gt`` / ``{epoch}_out`` preview images — the reference's
     50-epoch cadence (train.py:110-119). Minibatches shard over local
-    devices (batch DP — see dp_sharding); ``metrics`` is an optional
-    JsonlLogger receiving one per-epoch record. Returns (state, history)."""
+    devices (batch DP — see dp_sharding); ``scan_epochs=True`` instead runs
+    each epoch as ONE device program (train_epoch — single-device, for
+    dispatch-latency-bound links); ``metrics`` is an optional JsonlLogger
+    receiving one per-epoch record. Returns (state, history)."""
     from pathtrace_tpu.utils.metrics import JsonlLogger
 
     metrics = metrics if metrics is not None else JsonlLogger(None)
     rng = np.random.default_rng(seed)
     n = inputs.shape[0]
     sharding = dp_sharding(batch_size) if data_parallel else None
+    if scan_epochs:
+        # Whole-epoch device program (train_epoch): dataset lives on device
+        # across the run; one dispatch per epoch.
+        inputs_d = jnp.asarray(inputs)
+        targets_d = jnp.asarray(targets)
     history = []
     for _ in range(epochs):
         t0 = time.perf_counter()
         order = rng.permutation(n)
-        epoch_loss, batches = 0.0, 0
-        for i in range(0, n - batch_size + 1, batch_size):
-            idx = order[i : i + batch_size]
-            batch = jnp.asarray(inputs[idx])
-            target = jnp.asarray(targets[idx])
-            if sharding is not None:
-                batch = jax.device_put(batch, sharding)
-                target = jax.device_put(target, sharding)
-            state, loss = train_step(model, state, batch, target)
-            epoch_loss += float(loss)
-            batches += 1
-        avg = epoch_loss / max(batches, 1)
+        if scan_epochs:
+            state, avg_loss = train_epoch(
+                model, state, inputs_d, targets_d,
+                jnp.asarray(order, jnp.int32), batch_size,
+            )
+            avg = float(avg_loss)
+        else:
+            epoch_loss, batches = 0.0, 0
+            for i in range(0, n - batch_size + 1, batch_size):
+                idx = order[i : i + batch_size]
+                batch = jnp.asarray(inputs[idx])
+                target = jnp.asarray(targets[idx])
+                if sharding is not None:
+                    batch = jax.device_put(batch, sharding)
+                    target = jax.device_put(target, sharding)
+                state, loss = train_step(model, state, batch, target)
+                epoch_loss += float(loss)
+                batches += 1
+            avg = epoch_loss / max(batches, 1)
         state = plateau_update(state, jnp.asarray(avg, jnp.float32))
         history.append(avg)
         epoch = int(state.epoch)
@@ -381,6 +462,16 @@ def main(argv=None) -> int:
     p.add_argument("--spp-gt", type=int, default=512)
     p.add_argument("--batch", type=int, default=BATCH_SIZE)
     p.add_argument("--data-dir", type=str, help="Also export EXR pairs here")
+    p.add_argument("--scan-epochs", action="store_true",
+                   help="Run each epoch as one device program (lax.scan over "
+                        "minibatches) — same math, one dispatch per epoch")
+    p.add_argument("--ckpt-every", type=int, default=50)
+    p.add_argument("--pose-mode", choices=["reference", "interior"],
+                   default="reference",
+                   help="Pose sampler: the reference's get_random_position "
+                        "ranges, or box-facing interior views")
+    p.add_argument("--pose-list", type=str,
+                   help="Camera-pose list file (collect_data.py --list)")
     args = p.parse_args(argv)
 
     from pathtrace_tpu import RenderConfig, cornell_box
@@ -389,6 +480,11 @@ def main(argv=None) -> int:
     cfg = RenderConfig(width=args.size, height=args.size, spp=2, backend="auto")
 
     print("===> Rendering datasets (in-process, on-device)")
+    pose_rows = None
+    if args.pose_list:
+        from pathtrace_tpu.data.collect import load_poses
+
+        pose_rows = [tuple(map(float, r)) for r in load_poses(args.pose_list)]
     inputs, targets = build_dataset(
         scene,
         cfg,
@@ -398,6 +494,8 @@ def main(argv=None) -> int:
         spp_train=args.spp_train,
         spp_gt=args.spp_gt,
         save_dir=args.data_dir,
+        poses=pose_rows,
+        pose_mode=args.pose_mode,
     )
     print(f"===> Dataset: {inputs.shape} -> {targets.shape}")
 
@@ -449,9 +547,11 @@ def main(argv=None) -> int:
             epochs=args.epochs,
             batch_size=args.batch,
             ckpt_dir=base_dir,
+            ckpt_every=args.ckpt_every,
             log_every=1,
             val=(vx, vy),
             metrics=metrics,
+            scan_epochs=args.scan_epochs,
         )
     save_checkpoint(base_dir, state, model)
     return 0

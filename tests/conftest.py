@@ -19,6 +19,11 @@ os.environ["XLA_FLAGS"] = (
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: repeat test runs skip XLA recompiles (keyed
+# by HLO hash, so code changes invalidate exactly what they touch).
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
 import numpy as np
 import pytest

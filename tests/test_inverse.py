@@ -2,9 +2,10 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pathtrace_tpu import Camera, RenderConfig, cornell_box
-from pathtrace_tpu.inverse import recover_scene
+from pathtrace_tpu.inverse import make_inverse_step, recover_scene
 
 
 def test_recover_wall_albedo():
@@ -28,6 +29,42 @@ def test_recover_wall_albedo():
     true = np.asarray(scene.color[0])  # (0.75, 0.25, 0.25)
     assert np.all(np.isfinite(np.asarray(losses)))
     np.testing.assert_allclose(rec, true, atol=0.12)
+
+
+@pytest.mark.slow
+def test_all_pallas_position_recovery():
+    """VERDICT round-1 item #2 done-criterion: an all-Pallas inverse step
+    (NEE cross-estimator via the in-kernel-AD backward) optimizes a sphere
+    POSITION toward the target. Interpret mode on CPU; few steps — the
+    gate is that the z coordinate moves the right way under real geometry
+    gradients, not full convergence."""
+    from pathtrace_tpu.render import render_aovs
+
+    scene = cornell_box()
+    cam = Camera.create()
+    cfg = RenderConfig(
+        width=128, height=16, spp=2, max_bounces=2, backend="pallas",
+        nee=True, seed=5,
+    )
+    import dataclasses
+
+    target_cfg = dataclasses.replace(cfg, backend="jnp", spp=8)
+    target = render_aovs(scene, cam, target_cfg, frame=4242)["color"]
+    ball = 6
+    corrupted = scene.replace(
+        position=scene.position.at[ball, 2].add(6.0)
+    )
+    state, step_fn, _ = make_inverse_step(
+        corrupted, cam, cfg, target,
+        optimize=("position",), learning_rate=0.5, interpret=True,
+    )
+    z0 = float(corrupted.position[ball, 2])
+    true_z = float(scene.position[ball, 2])
+    for _ in range(6):
+        state, loss = step_fn(state)
+        assert np.isfinite(float(loss))
+    z1 = float(state.params["position"][ball, 2])
+    assert abs(z1 - true_z) < abs(z0 - true_z), (z0, z1, true_z)
 
 
 def test_recover_keeps_other_params():

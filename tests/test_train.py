@@ -139,6 +139,34 @@ def test_batch_dp_matches_single_device(tiny_data):
         )
 
 
+def test_scanned_epoch_matches_loop(tiny_data):
+    """train_epoch (lax.scan whole-epoch program) produces the same state
+    and loss as the per-minibatch train_step loop on the same order."""
+    from pathtrace_tpu.train import train_epoch
+
+    x, y = tiny_data
+    perm = np.arange(10)
+    state_a = create_state(jax.random.key(0), TINY, (32, 32, 14))
+    state_b = create_state(jax.random.key(0), TINY, (32, 32, 14))
+
+    losses = []
+    for i in range(0, 10, 5):
+        state_a, loss = train_step(
+            TINY, state_a, jnp.asarray(x[i : i + 5]), jnp.asarray(y[i : i + 5])
+        )
+        losses.append(float(loss))
+    state_b, avg = train_epoch(
+        TINY, state_b, jnp.asarray(x), jnp.asarray(y),
+        jnp.asarray(perm, jnp.int32), 5,
+    )
+    np.testing.assert_allclose(float(avg), np.mean(losses), rtol=1e-6)
+    for a, b in zip(
+        jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-7)
+
+
 def test_dp_sharding_device_choice():
     from pathtrace_tpu.train import dp_sharding
 
