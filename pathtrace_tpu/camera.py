@@ -68,7 +68,7 @@ class Camera:
             ]
         )
         front = front / jnp.linalg.norm(front)
-        world_up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+        world_up = jnp.array([0.0, 1.0, 0.0], self.position.dtype)
         right = jnp.cross(front, world_up)
         right = right / jnp.linalg.norm(right)
         up = jnp.cross(right, front)
@@ -106,7 +106,7 @@ class Camera:
         conditioning (and cleaner gradients) than jnp.linalg.inv of the
         near/far-skewed view-projection product."""
         front, right, up = self.basis_vectors()
-        m = jnp.eye(4, dtype=jnp.float32)
+        m = jnp.eye(4, dtype=self.position.dtype)
         m = m.at[:3, 0].set(right)
         m = m.at[:3, 1].set(up)
         m = m.at[:3, 2].set(-front)
@@ -114,13 +114,13 @@ class Camera:
         return m
 
     @staticmethod
-    def inverse_projection_matrix(width: int, height: int) -> jnp.ndarray:
+    def inverse_projection_matrix(width: int, height: int, dtype=jnp.float32) -> jnp.ndarray:
         """Analytic inverse of the perspective matrix."""
-        f = 1.0 / jnp.tan(jnp.deg2rad(jnp.float32(ZOOM)) / 2.0)
+        f = 1.0 / jnp.tan(jnp.deg2rad(jnp.asarray(ZOOM, dtype)) / 2.0)
         aspect = width / float(height)
         c = -(FAR + NEAR) / (FAR - NEAR)
         d = -2.0 * FAR * NEAR / (FAR - NEAR)
-        m = jnp.zeros((4, 4), jnp.float32)
+        m = jnp.zeros((4, 4), dtype)
         m = m.at[0, 0].set(aspect / f)
         m = m.at[1, 1].set(1.0 / f)
         m = m.at[2, 3].set(-1.0)
@@ -143,14 +143,15 @@ class Camera:
         dither wall depths by tens of basis units under sub-ulp camera
         motion). Identical in exact arithmetic.
         """
+        dt = self.position.dtype
         corners = jnp.array(
-            [[-1.0, -1.0], [1.0, -1.0], [-1.0, 1.0], [1.0, 1.0]], jnp.float32
+            [[-1.0, -1.0], [1.0, -1.0], [-1.0, 1.0], [1.0, 1.0]], dt
         )
         ndc = jnp.concatenate(
-            [corners, jnp.zeros((4, 1), jnp.float32), jnp.ones((4, 1), jnp.float32)],
+            [corners, jnp.zeros((4, 1), dt), jnp.ones((4, 1), dt)],
             axis=1,
         )  # [4, 4], clip z = 0 as in the reference
-        view = ndc @ self.inverse_projection_matrix(width, height).T  # [4, 4]
+        view = ndc @ self.inverse_projection_matrix(width, height, dt).T  # [4, 4]
         view3 = view[:, :3] / view[:, 3:4]
         rot = self.inverse_view_matrix()[:3, :3]  # world <- view rotation
         return view3 @ rot.T

@@ -24,23 +24,28 @@ def _normalize(v, eps=1e-20):
     return v / jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True) + eps)
 
 
-def ortho_vector(v):
+def ortho_vector(v, cond=None):
     """A vector orthogonal to v (reference ``orthoVector``,
-    ``pathtrace.cu:121-124``): (-y, x, 0) if |x| > |z| else (0, -z, y)."""
-    cond = jnp.abs(v[..., 0]) > jnp.abs(v[..., 2])
+    ``pathtrace.cu:121-124``): (-y, x, 0) if |x| > |z| else (0, -z, y).
+
+    ``cond`` optionally supplies the branch selector from outside — the
+    frozen-decision replay (ops/frozen.py) records it at the base point so
+    finite differences of the replay never cross this discrete branch."""
+    if cond is None:
+        cond = jnp.abs(v[..., 0]) > jnp.abs(v[..., 2])
     a = jnp.stack([-v[..., 1], v[..., 0], jnp.zeros_like(v[..., 0])], axis=-1)
     b = jnp.stack([jnp.zeros_like(v[..., 0]), -v[..., 2], v[..., 1]], axis=-1)
     return jnp.where(cond[..., None], a, b)
 
 
-def cosine_weighted_direction(normal, u1, u2, power: float = 1.0):
+def cosine_weighted_direction(normal, u1, u2, power: float = 1.0, ortho_cond=None):
     """Sample a direction about ``normal`` ([..., 3]) from uniforms u1, u2
     ([...]). power=1 gives the cosine-weighted pdf (``pathtrace.cu:127``);
     power=0 would be the unbiased uniform hemisphere noted in the reference
     comment.
     """
     n = _normalize(normal)
-    o1 = _normalize(ortho_vector(n))
+    o1 = _normalize(ortho_vector(n, cond=ortho_cond))
     o2 = _normalize(jnp.cross(n, o1))
     phi = u1 * TWO_PI
     z = jnp.power(u2, 1.0 / (power + 1.0))
@@ -61,12 +66,12 @@ def reflect(incident, normal):
     return incident - 2.0 * jnp.sum(normal * incident, axis=-1, keepdims=True) * normal
 
 
-def glossy_direction(normal, u1, u2, u3, u4, u5):
+def glossy_direction(normal, u1, u2, u3, u4, u5, ortho_cond=None):
     """The reference's "makeshift glossy BRDF" experiment
     (``pathtrace.cu:181-184``, commented out there; a working option here):
     reflect the cosine-weighted sample about the normal, perturb by
     ``0.01 * uniform3 - 0.005``, renormalize."""
-    d = cosine_weighted_direction(normal, u1, u2)
+    d = cosine_weighted_direction(normal, u1, u2, ortho_cond=ortho_cond)
     d = reflect(d, normal)
     jig = 0.01 * jnp.stack([u3, u4, u5], axis=-1) - 0.005
     return _normalize(d + jig)

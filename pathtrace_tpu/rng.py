@@ -42,13 +42,16 @@ P_FRAME = 0xC2B2AE3D - (1 << 32)
 
 
 def mix32(x):
-    """'lowbias32' avalanche mixer over int32 bit patterns."""
+    """'lowbias32' avalanche mixer over int32 bit patterns.
+
+    Shift amounts are explicit int32 so the lattice is unchanged under
+    ``jax.enable_x64`` (the f64 gradient-oracle replay, ops/frozen.py)."""
     shr = jax.lax.shift_right_logical
-    x = x ^ shr(x, 16)
+    x = x ^ shr(x, jnp.int32(16))
     x = x * jnp.int32(P_MIX1)
-    x = x ^ shr(x, 15)
+    x = x ^ shr(x, jnp.int32(15))
     x = x * jnp.int32(P_MIX2)
-    x = x ^ shr(x, 16)
+    x = x ^ shr(x, jnp.int32(16))
     return x
 
 
@@ -79,7 +82,7 @@ def draw_key(bkey, sample_index, slot, n_slots: int):
 def uniform_from_keys(pix_key, dkey):
     """f32 uniforms in [0, 1) from pixel keys x a draw key."""
     bits = mix32(pix_key ^ dkey)
-    u24 = jax.lax.shift_right_logical(bits, 8)
+    u24 = jax.lax.shift_right_logical(bits, jnp.int32(8))
     return u24.astype(jnp.float32) * (1.0 / (1 << 24))
 
 
