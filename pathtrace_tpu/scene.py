@@ -28,10 +28,22 @@ class Scene:
     """
 
     def __init__(self, radius, position, emission, color):
-        self.radius = jnp.asarray(radius, jnp.float32)
-        self.position = jnp.asarray(position, jnp.float32)
-        self.emission = jnp.asarray(emission, jnp.float32)
-        self.color = jnp.asarray(color, jnp.float32)
+        # Default dtype is f32 (the renderer's arithmetic), but an existing
+        # floating dtype is PRESERVED: the f64 gradient oracle
+        # (scripts/grad_oracle_cpu.py) builds f64 scenes via replace(), and
+        # silently re-quantizing its perturbed parameters to f32 ulps was
+        # measurably corrupting finite-difference steps (eps=2e-4 at z=47
+        # quantizes to 52/52.4 ulp -> a uniform 4e-3 FD error).
+        def _cast(x):
+            dt = getattr(x, "dtype", None)
+            if dt is not None and jnp.issubdtype(dt, jnp.floating):
+                return jnp.asarray(x)
+            return jnp.asarray(x, jnp.float32)
+
+        self.radius = _cast(radius)
+        self.position = _cast(position)
+        self.emission = _cast(emission)
+        self.color = _cast(color)
 
     @property
     def num_objects(self) -> int:

@@ -11,12 +11,20 @@ Produces ``results/grad_oracle/oracle.npz`` consumed by scripts/grad_gate.py:
    pipelines), so |f32 - f64| isolates pure f32 ACCUMULATION error.
 3. f64 gradients of the same replay — the oracle: same real-arithmetic
    function, ~1e-16 rounding.
-4. f64 central finite differences of the frozen replay for geometry/camera
-   scalars — a true derivative check with silhouette terms structurally
-   absent (decisions cannot flip inside the bracket). FD probes run at a
-   reduced spp (the estimator is a per-sample sum; every gradient code path
-   is exercised by any sample subset) to keep the 2-core f64 CPU cost sane;
-   the AD side is evaluated at the same spp for exact comparability.
+4. PER-PIXEL finite differences for geometry/camera scalars: forward-mode
+   derivative (jvp) of the replayed color image vs central FD of the same
+   image, both f64. Per-pixel comparison is the load-bearing choice — the
+   SCALAR loss-FD is unusable for e.g. sphere radius, whose net gradient
+   (~8e-4) is two orders below the gross per-pixel terms: silhouette-ring
+   curvature (eps^2 x d^2/(r(r^2-d^2)) blows up on grazing lanes) and
+   clip-kink crossings (O(|slope jump|) each, non-vanishing as eps->0)
+   leave the net FD with no convergent eps window (measured: rel err
+   5.6e-2 @ 2e-5, 9.8e-2 @ 5e-6, 46% @ 1e-6). The per-pixel gross-normalized
+   error |J-D|_1 / (|J|_1 + |D|_1) has no cancellation amplification and is
+   the honest gate; per-pixel quantiles localize the (quantified) grazing
+   minority. FD probes run at a reduced spp (the estimator is a per-sample
+   sum; every gradient code path is exercised by any sample subset) to keep
+   the 2-core f64 CPU cost sane.
 
 Usage: JAX_PLATFORMS=cpu python scripts/grad_oracle_cpu.py [--size 512]
        [--spp 32] [--fd-spp 8] [--out results/grad_oracle/oracle.npz]
@@ -62,11 +70,7 @@ def main() -> int:
     import jax.numpy as jnp
 
     from pathtrace_tpu import Camera, RenderConfig, cornell_box
-    from pathtrace_tpu.ops.frozen import (
-        record_frame,
-        replay_loss_grads,
-        replay_loss,
-    )
+    from pathtrace_tpu.ops.frozen import record_frame, replay_loss_grads
 
     scene, cam = cornell_box(), Camera.create()
     S, SPP = args.size, args.spp
@@ -99,12 +103,9 @@ def main() -> int:
             out[f"f64_{k}"] = v
         print(f"[A3] f64 oracle grads in {time.time()-t0:.0f}s", flush=True)
 
-        # -- FD probes at reduced spp ------------------------------------
+        # -- per-pixel FD probes at reduced spp ---------------------------
         cfg_fd = dataclasses.replace(cfg, spp=args.fd_spp)
         recs_fd = recs[: max(1, args.fd_spp // max(cfg.spp_chunk, 1))]
-        _, (dsf, dcf) = replay_loss_grads(
-            scene, cam, cfg_fd, 0, recs_fd, target, dtype=jnp.float64
-        )
         scene64 = scene.replace(
             radius=scene.radius.astype(jnp.float64),
             position=scene.position.astype(jnp.float64),
@@ -118,60 +119,74 @@ def main() -> int:
             pitch=cam.pitch.astype(jnp.float64),
         )
 
-        def L(s, c):
-            return float(
-                replay_loss(s, c, cfg_fd, 0, recs_fd, target, dtype=jnp.float64)
-            )
+        from pathtrace_tpu.ops.frozen import replay_color
 
-        # eps on each parameter's FD plateau (tests/test_frozen.py): wide
-        # brackets hit grazing-lane sqrt curvature, narrow ones the
-        # piecewise-smooth kink floor.
+        def color_of(s, c):
+            eye = c.position
+            basis = c.eye_ray_basis(S, S)
+            return replay_color(s, eye, basis, cfg_fd, 0, recs_fd, remat=False)
+
+        # eps on each parameter's curvature plateau: wide brackets hit
+        # grazing-lane sqrt curvature; below ~1e-6 a crossed clip-kink's
+        # O(|slope jump|) error stops shrinking (measured sweeps above).
         probes = {
+            "sphere6_radius": (
+                lambda h: (scene64.replace(radius=scene64.radius.at[6].add(h)), cam64),
+                2e-5,
+            ),
             "sphere6_pos_z": (
-                float(dsf.position[6, 2]),
                 lambda h: (
                     scene64.replace(position=scene64.position.at[6, 2].add(h)),
                     cam64,
                 ),
-                1e-3,
-            ),
-            "sphere6_radius": (
-                float(dsf.radius[6]),
-                lambda h: (scene64.replace(radius=scene64.radius.at[6].add(h)), cam64),
-                1e-4,
+                2e-4,
             ),
             "camera_pos_z": (
-                float(dcf.position[2]),
                 lambda h: (
                     scene64,
-                    dataclasses.replace(
-                        cam64, position=cam64.position.at[2].add(h)
-                    ),
+                    dataclasses.replace(cam64, position=cam64.position.at[2].add(h)),
                 ),
                 2e-3,
             ),
             "camera_yaw": (
-                float(dcf.yaw),
                 lambda h: (scene64, dataclasses.replace(cam64, yaw=cam64.yaw + h)),
-                1e-4,
+                5e-5,
             ),
         }
         fd_rows = []
-        for name, (ad, pert, eps) in probes.items():
+        for name, (pert, eps) in probes.items():
             t0 = time.time()
-            sp, cp = pert(eps)
-            sm, cm = pert(-eps)
-            fd = (L(sp, cp) - L(sm, cm)) / (2 * eps)
-            fd_rows.append((name, ad, fd, eps))
+            _, tang = jax.jvp(
+                lambda h: color_of(*pert(h)),
+                (jnp.float64(0.0),),
+                (jnp.float64(1.0),),
+            )
+            J = np.asarray(tang, np.float64)
+            cp = np.asarray(color_of(*pert(eps)), np.float64)
+            cm = np.asarray(color_of(*pert(-eps)), np.float64)
+            D = (cp - cm) / (2 * eps)
+            mag = np.abs(J) + np.abs(D)
+            gross = float(np.abs(J - D).sum() / max(mag.sum(), 1e-300))
+            sel = mag > 1e-3 * mag.max()
+            err = np.abs(J - D) / np.maximum(mag, 1e-300)
+            q = np.quantile(err[sel], [0.5, 0.9, 0.99, 0.999])
+            fd_rows.append(
+                (name, eps, gross, q[0], q[1], q[2], q[3],
+                 float(sel.mean()), float(J.sum()), float(D.sum()))
+            )
             print(
-                f"[A4] FD {name}: ad={ad:.6e} fd={fd:.6e} eps={eps:g} "
+                f"[A4] {name}: gross={gross:.2e} p50={q[0]:.2e} p90={q[1]:.2e} "
+                f"p99={q[2]:.2e} p99.9={q[3]:.2e} active={sel.mean()*100:.1f}% "
+                f"netJ={J.sum():.4e} netD={D.sum():.4e} eps={eps:g} "
                 f"({time.time()-t0:.0f}s)",
                 flush=True,
             )
         out["fd_names"] = np.array([r[0] for r in fd_rows])
-        out["fd_ad"] = np.array([r[1] for r in fd_rows], np.float64)
-        out["fd_fd"] = np.array([r[2] for r in fd_rows], np.float64)
-        out["fd_eps"] = np.array([r[3] for r in fd_rows], np.float64)
+        for i, k in enumerate(
+            ["eps", "gross", "p50", "p90", "p99", "p999", "active", "netJ", "netD"],
+            start=1,
+        ):
+            out[f"fd_{k}"] = np.array([r[i] for r in fd_rows], np.float64)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     np.savez_compressed(args.out, **out)

@@ -177,3 +177,21 @@ def test_frozen_fd_matches_ad(setup, pick, perturb, eps):
     # bounds agreement at ~1e-2 for the heavy-cancellation parameters
     # (radius, yaw) whose net value is tiny vs per-lane contributions.
     assert abs(ad - fd) / denom < 2e-2, (ad, fd)
+
+
+def test_scene_replace_preserves_f64(setup):
+    """Scene.__init__ must not re-quantize floating inputs to f32: the f64
+    oracle perturbs parameters through replace(), and a silent f32 cast
+    rounds the FD step to f32 ulps (eps=2e-4 at z=47 quantizes to 52/52.4
+    ulp — a uniform 4e-3 FD error measured at 512^2 before the fix)."""
+    scene, _ = setup
+    with jax.enable_x64(True):
+        s64 = scene.replace(position=scene.position.astype(jnp.float64))
+        assert s64.position.dtype == jnp.float64
+        eps = 2e-4
+        pp = s64.replace(position=s64.position.at[6, 2].add(eps))
+        assert float(pp.position[6, 2] - s64.position[6, 2]) == pytest.approx(
+            eps, rel=1e-9
+        )
+    # default path still canonicalizes non-float input to f32
+    assert scene.replace(radius=[1.0] * scene.num_objects).radius.dtype == jnp.float32
