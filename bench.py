@@ -3,10 +3,21 @@
 Headline metric: forward-render throughput of the Pallas megakernel on the
 BASELINE workload (Cornell box, 512x512, 32 spp, 5 bounces), in
 Mrays/s/chip where rays = W*H*spp*bounces path segments. Auxiliary fields
-report the jnp (differentiable) backend forward and forward+backward
-throughput when available.
+report the sharded-runtime forward, the all-Pallas forward+backward, the
+inverse-rendering step and the interactive denoised-frame rate.
 
-Usage: python bench.py [--size 512] [--spp 32] [--quick]
+Budget discipline (VERDICT r2 item #1): the harness must finish cold in
+well under the driver budget. It therefore (a) enables the persistent
+compilation cache, (b) uses 6-frame jit chains with <=2 repeats, (c) emits
+the headline JSON line AS SOON as the Pallas forward is measured — a later
+timeout still records a result — and re-emits the full line at the end
+(drivers that take the last JSON line get the complete record), and (d)
+gates the slow jnp fwd+bwd remat program behind --full.
+
+Timing mechanism analog: cudaEvent elapsed-ms around the kernel launch,
+reference include/Renderer.h:63-75 / src/main.cu:183.
+
+Usage: python bench.py [--size 512] [--spp 32] [--quick] [--full]
 """
 
 from __future__ import annotations
@@ -43,11 +54,23 @@ def main() -> int:
     ap.add_argument("--bounces", type=int, default=5)
     ap.add_argument("--quick", action="store_true", help="128x128x4spp smoke")
     ap.add_argument("--no-grad", action="store_true", help="skip fwd+bwd timing")
+    ap.add_argument(
+        "--full", action="store_true",
+        help="also time the slow jnp-backend forward and fwd+bwd remat programs",
+    )
     args = ap.parse_args()
     if args.quick:
         args.size, args.spp = 128, 4
 
     import jax
+
+    # Persistent compilation cache: a warm rerun (or a rerun after a timeout)
+    # skips every XLA compile that already happened — the single largest cost
+    # of a bench run over the tunneled chip (tests/conftest.py does the same).
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+
     import jax.numpy as jnp
 
     from pathtrace_tpu import Camera, RenderConfig, cornell_box
@@ -57,11 +80,13 @@ def main() -> int:
     scene = cornell_box()
     cam = Camera.create()
     n_rays = args.size * args.size * args.spp * args.bounces
+    prior = _prior_value()
+    t_start = time.time()
 
     # Over the axon tunnel each dispatch costs ~10-20 ms of RPC latency;
     # chain K frames inside ONE jit (data-dependent accumulator) so the
     # measurement reflects device time, then divide.
-    k_frames = 4 if args.quick else 12
+    k_frames = 4 if args.quick else 6
 
     def per_frame_seconds(frame_scalar_fn, repeats: int = 1):
         @jax.jit
@@ -71,19 +96,35 @@ def main() -> int:
 
             return jax.lax.fori_loop(0, k_frames, body, 0.0)
 
-        # Best-of-N for the headline metrics: the tunneled chip is shared,
-        # and a transient slowdown in a single 2-iter window has been
-        # observed to skew a metric by ~25%.
+        # Best-of-N: the tunneled chip is shared and a transient slowdown in
+        # a single window has been observed to skew a metric by ~25%.
         secs = min(
             time_fn(multi, scene, cam, 0, warmup=1 if r == 0 else 0, iters=2)[0]
             for r in range(max(repeats, 1))
         )
         return secs / k_frames
 
+    def emit(headline, extras):
+        result = {
+            "metric": (
+                f"Mrays/s/chip fwd (Cornell {args.size}^2 x {args.spp}spp"
+                f" x {args.bounces} bounces)"
+            ),
+            "value": round(headline, 3),
+            "unit": "Mrays/s",
+            "vs_baseline": round(headline / prior, 3) if prior else 1.0,
+            "backend": backend,
+            "n_rays_per_frame": n_rays,
+            "elapsed_s": round(time.time() - t_start, 1),
+            **{k: round(v, 3) for k, v in extras.items()},
+        }
+        print(json.dumps(result), flush=True)
+
     extras = {}
+    on_tpu = backend in ("tpu", "axon")
 
     # -- Pallas megakernel forward (TPU) / jnp fallback elsewhere ----------
-    if backend in ("tpu", "axon"):
+    if on_tpu:
         from pathtrace_tpu.ops.pallas_trace import render_channels_pallas
 
         cfg = RenderConfig(
@@ -91,31 +132,33 @@ def main() -> int:
             max_bounces=args.bounces, backend="pallas",
         )
         secs = per_frame_seconds(
-            lambda s, c, f: render_channels_pallas(s, c, cfg, f)[0, 0, 0], repeats=3
+            lambda s, c, f: render_channels_pallas(s, c, cfg, f)[0, 0, 0], repeats=2
         )
         headline = mrays_per_sec(args.size, args.size, args.spp, args.bounces, secs)
         extras["pallas_fwd_ms"] = secs * 1e3
+        # Early emit: if any later stage exceeds the driver budget, this line
+        # is already on the record.
+        emit(headline, extras)
     else:
         headline = None
 
     # -- Pallas megakernel under shard_map (1-device mesh) ------------------
     # Gate: the sharded runtime must not tax the kernel — within ~10% of the
-    # unsharded megakernel (VERDICT round-1 item #1 done-criterion).
-    if backend in ("tpu", "axon"):
+    # unsharded megakernel (met at ~1% in rounds 1-2).
+    if on_tpu:
         from pathtrace_tpu.parallel import make_mesh
         from pathtrace_tpu.parallel.shard import render_channels_sharded
 
         mesh1 = make_mesh(tiles=1, samples=1, devices=jax.devices()[:1])
         secs_sh = per_frame_seconds(
             lambda s, c, f: render_channels_sharded(s, c, cfg, mesh1, f)[0, 0, 0],
-            repeats=2,
         )
         extras["sharded_1dev_fwd_mrays"] = mrays_per_sec(
             args.size, args.size, args.spp, args.bounces, secs_sh
         )
 
     # -- Pallas forward+backward (emission/albedo product-chain kernel) -----
-    if backend in ("tpu", "axon") and not args.no_grad:
+    if on_tpu and not args.no_grad:
         from pathtrace_tpu.ops.pallas_grad import pallas_loss_and_grads
 
         target0 = jnp.zeros((args.size, args.size, 3), jnp.float32)
@@ -124,13 +167,14 @@ def main() -> int:
             loss, (d_scene, _) = pallas_loss_and_grads(s, c, cfg, f, target0)
             return loss + jnp.sum(d_scene.emission)
 
-        secs_pg = per_frame_seconds(pallas_grad_scalar, repeats=3)
+        secs_pg = per_frame_seconds(pallas_grad_scalar, repeats=2)
         extras["pallas_fwd_bwd_mrays"] = mrays_per_sec(
             args.size, args.size, args.spp, args.bounces, secs_pg
         )
+        emit(headline, extras)
 
     # -- all-Pallas inverse-rendering step (cross-estimator, 256^2 x 8spp) --
-    if backend in ("tpu", "axon") and not args.no_grad and not args.quick:
+    if on_tpu and not args.no_grad and not args.quick:
         from pathtrace_tpu.ops.pallas_grad import pallas_cross_grads
 
         cfg_inv = RenderConfig(width=256, height=256, spp=8, backend="pallas")
@@ -144,7 +188,7 @@ def main() -> int:
         extras["inverse_step_ms"] = secs_inv * 1e3
 
     # -- interactive denoised frame: 512^2 x 4spp render + CNN forward ------
-    if backend in ("tpu", "axon") and not args.quick:
+    if on_tpu and not args.quick:
         from pathtrace_tpu.models.denoise_cnn import DenoiseCNN
         from pathtrace_tpu.models.infer import _denoise_jit
         from pathtrace_tpu.ops.pallas_trace import render_channels_pallas
@@ -166,47 +210,40 @@ def main() -> int:
         extras["denoised_frame_ms"] = secs_f * 1e3
         extras["denoised_frame_fps"] = 1.0 / secs_f
 
-    # -- jnp (differentiable oracle) forward --------------------------------
-    from pathtrace_tpu.render import render_channels
+    # -- jnp (differentiable oracle) forward / fwd+bwd: --full only ---------
+    # The 512^2 x 32spp jnp fwd+bwd remat program is the slowest compile in
+    # the repo (~minutes cold) and is not the headline path; it stays
+    # measurable but off the default budget (VERDICT r2 weak #1).
+    if args.full or not on_tpu:
+        from pathtrace_tpu.render import render_channels
 
-    spp_chunk = 8 if args.spp > 8 else 0
-    cfg_jnp = RenderConfig(
-        width=args.size, height=args.size, spp=args.spp,
-        max_bounces=args.bounces, backend="jnp", spp_chunk=spp_chunk,
-    )
-    secs_jnp = per_frame_seconds(
-        lambda s, c, f: render_channels(s, c, cfg_jnp, f)[0, 0, 0]
-    )
-    extras["jnp_fwd_mrays"] = mrays_per_sec(
-        args.size, args.size, args.spp, args.bounces, secs_jnp
-    )
-    if headline is None:
-        headline = extras["jnp_fwd_mrays"]
-
-    # -- jnp forward+backward (pixel-loss grads w.r.t. scene+camera) --------
-    if not args.no_grad:
-        from pathtrace_tpu.grad import render_loss_grads
-
-        def grad_scalar(s, c, f):
-            loss, (d_scene, _) = render_loss_grads(s, c, cfg_jnp, f)
-            return loss + jnp.sum(d_scene.color)
-
-        secs_g = per_frame_seconds(grad_scalar)
-        extras["fwd_bwd_mrays"] = mrays_per_sec(
-            args.size, args.size, args.spp, args.bounces, secs_g
+        spp_chunk = 8 if args.spp > 8 else 0
+        cfg_jnp = RenderConfig(
+            width=args.size, height=args.size, spp=args.spp,
+            max_bounces=args.bounces, backend="jnp", spp_chunk=spp_chunk,
         )
+        secs_jnp = per_frame_seconds(
+            lambda s, c, f: render_channels(s, c, cfg_jnp, f)[0, 0, 0]
+        )
+        extras["jnp_fwd_mrays"] = mrays_per_sec(
+            args.size, args.size, args.spp, args.bounces, secs_jnp
+        )
+        if headline is None:
+            headline = extras["jnp_fwd_mrays"]
 
-    prior = _prior_value()
-    result = {
-        "metric": f"Mrays/s/chip fwd (Cornell {args.size}^2 x {args.spp}spp x {args.bounces} bounces)",
-        "value": round(headline, 3),
-        "unit": "Mrays/s",
-        "vs_baseline": round(headline / prior, 3) if prior else 1.0,
-        "backend": backend,
-        "n_rays_per_frame": n_rays,
-        **{k: round(v, 3) for k, v in extras.items()},
-    }
-    print(json.dumps(result))
+        if not args.no_grad:
+            from pathtrace_tpu.grad import render_loss_grads
+
+            def grad_scalar(s, c, f):
+                loss, (d_scene, _) = render_loss_grads(s, c, cfg_jnp, f)
+                return loss + jnp.sum(d_scene.color)
+
+            secs_g = per_frame_seconds(grad_scalar)
+            extras["fwd_bwd_mrays"] = mrays_per_sec(
+                args.size, args.size, args.spp, args.bounces, secs_g
+            )
+
+    emit(headline, extras)
     return 0
 
 

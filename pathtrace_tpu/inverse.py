@@ -52,13 +52,31 @@ def make_inverse_step(
     optimize: Sequence[str] = ("color",),
     learning_rate: float = 2e-2,
     interpret: bool = False,
+    grad_mask: Dict[str, jnp.ndarray] | None = None,
 ):
     """Returns (init_state, jitted step_fn, optimizer).
 
     step_fn(state) -> (state', loss): one Adam step on the L2 pixel loss
-    w.r.t. the selected scene fields.
+    w.r.t. the selected scene fields. ``learning_rate`` is a float, or a
+    dict {field: lr} for jointly optimized blocks with different natural
+    scales (positions live in world units ~1e1, albedos in [0, 1]).
+
+    ``grad_mask`` ({field: 0/1 array broadcastable to the field}) freezes
+    entries: Adam normalizes step sizes, so without a mask even the
+    tiny gradients on the r=1e5 wall spheres walk them ~lr units per
+    step and collapse the box geometry — geometry optimization should
+    mask to the spheres actually being recovered.
     """
-    tx = optax.adam(learning_rate)
+    if isinstance(learning_rate, dict):
+        missing = set(optimize) - set(learning_rate)
+        if missing:
+            raise ValueError(f"learning_rate missing fields: {missing}")
+        tx = optax.multi_transform(
+            {k: optax.adam(v) for k, v in learning_rate.items()},
+            param_labels={k: k for k in optimize},
+        )
+    else:
+        tx = optax.adam(learning_rate)
     init_params = {name: getattr(base_scene, name) for name in optimize}
 
     # All-Pallas fast path. Diffuse/no-NEE: the hand-derived product-chain
@@ -111,6 +129,11 @@ def make_inverse_step(
                 return jnp.mean((a - target) * (b - target))
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        if grad_mask:
+            grads = {
+                k: g * grad_mask[k] if k in grad_mask else g
+                for k, g in grads.items()
+            }
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return InverseState(params, opt_state, state.step + 1), loss

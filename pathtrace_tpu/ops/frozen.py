@@ -321,14 +321,6 @@ def _chunk_rays(cam_eye, basis, cfg: RenderConfig, frame, chunk_spp: int,
     return cam_eye.astype(dt), directions, bounce_u
 
 
-def _spp_chunks(cfg: RenderConfig):
-    total = cfg.spp
-    if cfg.spp_chunk <= 0 or cfg.spp_chunk >= total:
-        return [total]
-    n_full, rem = divmod(total, cfg.spp_chunk)
-    return [cfg.spp_chunk] * n_full + ([rem] if rem else [])
-
-
 def record_frame(scene, cam, cfg: RenderConfig, frame=0):
     """Trace the full frame in f32 (the real renderer's arithmetic),
     recording decisions per spp chunk. Returns (color [H, W, 3] mean,
@@ -337,7 +329,7 @@ def record_frame(scene, cam, cfg: RenderConfig, frame=0):
     total = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
     recs = []
     offset = 0
-    for chunk in _spp_chunks(cfg):
+    for chunk in cfg.chunks():
         o, d, bu = _chunk_rays(eye, basis, cfg, frame, chunk, offset)
         color, dec = frozen_trace(
             scene, o, d, bu,
@@ -380,7 +372,7 @@ def replay_color(scene, eye, basis, cfg: RenderConfig, frame, recs,
 
     total = jnp.zeros((cfg.height, cfg.width, 3), dt)
     offset = 0
-    for dec, chunk in zip(recs, _spp_chunks(cfg)):
+    for dec, chunk in zip(recs, cfg.chunks()):
         total = total + chunk_color(
             scene, eye, basis, tuple(dec), chunk, offset
         )

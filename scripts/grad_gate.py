@@ -17,9 +17,14 @@ has produced ``results/grad_oracle/oracle.npz``. Writes docs/GRAD_GATE.md:
    > 1e-4 between the TPU and CPU forwards) plus borderline decision
    flips, both amplified by the geometry blocks' heavy cancellation (the
    r=1e5 walls cancel those sums to ~1e-2 of their gross terms). Gate:
-   the Pallas error must sit within the worse of the two floors —
-   <= max(e_jnp_tpu, 2 x floor_cpu, 5e-3). In practice the Kahan-summed
-   Pallas kernel beats XLA's own AD by 2-6x on every block.
+   the Pallas error must sit within the worse of the floors —
+   <= max(e_jnp_tpu, 2 x floor_cpu, 5e-3) — and e_jnp_tpu is itself
+   bounded at max(10 x max(floor_cpu, floor_tpu_replay), 2e-2), where
+   floor_tpu_replay is measured by replaying the oracle's own decisions
+   in f32 ON TPU (decision flips excluded; pure arithmetic drift), so a
+   regression in the shared jnp path FAILs instead of widening the gate.
+   In practice the Kahan-summed Pallas kernel beats XLA's own AD by 2-6x
+   on every block.
 3. Finite differences: shading parameters FD the raw Pallas loss directly
    (linear paths, no discrete sensitivity); geometry/camera parameters are
    validated PER-PIXEL on the FROZEN-DECISION replay in f64 (phase A):
@@ -84,6 +89,43 @@ def main() -> int:
         "oracle artifact was generated for a different config — re-run "
         "scripts/grad_oracle_cpu.py"
     )
+    # Full lattice-defining config must match (ADVICE r2: a different
+    # seed/bounces/brdf/nee/light/chunking lattice would gate silently).
+    if "seed" in orc.files:
+        expect = {
+            "seed": cfg_jn.seed, "max_bounces": cfg_jn.max_bounces,
+            "brdf": cfg_jn.brdf, "nee": cfg_jn.nee,
+            "light_index": cfg_jn.light_index,
+        }
+        for k, want in expect.items():
+            got = orc[k].item() if orc[k].shape == () else orc[k]
+            assert got == want, f"oracle {k}={got} != gate config {want}"
+        # spp_chunk is recs LAYOUT, not lattice: the replay below must use
+        # the oracle's own chunking to zip with its decision arrays.
+        oracle_spp_chunk = int(orc["spp_chunk"])
+    else:
+        print("WARNING: legacy oracle.npz without full config fields")
+        oracle_spp_chunk = 2
+
+    # Optional decisions artifact: the f32 replay on the oracle's OWN
+    # decisions, run on THIS backend, isolates cross-platform arithmetic
+    # drift from borderline decision flips — the honest platform floor.
+    dec_path = os.path.join(os.path.dirname(args.oracle) or ".", "decisions.npz")
+    recs_tpu = None
+    if os.path.exists(dec_path):
+        from pathtrace_tpu.ops.frozen import Decisions
+
+        dec = np.load(dec_path, allow_pickle=False)
+        recs_tpu = [
+            Decisions(
+                idx=jnp.asarray(dec[f"c{i}_idx"], jnp.int32),
+                use_near=jnp.asarray(dec[f"c{i}_use_near"], bool),
+                facing=jnp.asarray(dec[f"c{i}_facing"], bool),
+                ortho=jnp.asarray(dec[f"c{i}_ortho"], bool),
+                vis=jnp.asarray(dec[f"c{i}_vis"], jnp.float32),
+            )
+            for i in range(int(dec["n_chunks"]))
+        ]
 
     lines = [
         "# GRAD GATE — device-scale gradient validation",
@@ -106,6 +148,11 @@ def main() -> int:
         "",
     ]
     ok = True
+    if recs_tpu is None:
+        print(
+            "WARNING: no decisions.npz next to the oracle — the TPU-replay "
+            "floor column will be empty (re-run scripts/grad_oracle_cpu.py)"
+        )
 
     loss_j, (ds_j, dc_j) = jax.block_until_ready(
         render_loss_grads(scene, cam, cfg_j, 0, target)
@@ -131,19 +178,25 @@ def main() -> int:
         "## 2. Full parameters under NEE vs the f64 oracle",
         "",
         "Per parameter block, max rel error vs the f64 oracle of: the f32",
-        "replay run on the oracle's own decisions (= the SAME-PLATFORM f32",
-        "accumulation floor), the jnp-backend f32 AD on TPU (= the measured",
-        "CROSS-PLATFORM floor: it is bitwise the estimator that recorded the",
-        "oracle, so its distance is pure platform delta — f32 arithmetic",
-        "drift plus borderline decision flips, amplified by the geometry",
-        "blocks' heavy cancellation), and the Pallas in-kernel-AD kernel",
-        "(Kahan spp accumulation + per-tile blocks tree-summed,",
-        "ops/pallas_ad.py). Gate: Pallas error <= max(jnp-TPU error,",
-        "2 x cpu floor, 5e-3) — the kernel must sit at least as close to",
-        "the f64 oracle as the platform's own trusted estimator.",
+        "replay run on the oracle's own decisions ON CPU (= the",
+        "SAME-PLATFORM f32 accumulation floor), the SAME f32 replay run on",
+        "the oracle's decisions ON TPU (= pure cross-platform arithmetic",
+        "drift — fma/rsqrt contraction — with decision flips structurally",
+        "excluded), the jnp-backend f32 AD on TPU (arithmetic drift PLUS",
+        "borderline decision flips, amplified by the geometry blocks'",
+        "heavy cancellation), and the Pallas in-kernel-AD kernel (Kahan",
+        "spp accumulation + per-tile blocks tree-summed, ops/pallas_ad.py).",
         "",
-        "| block | f32 floor (CPU) | jnp AD (TPU) | Pallas (TPU) | gate | pass |",
-        "|---|---|---|---|---|---|",
+        "Gate: Pallas error <= max(jnp-TPU error, 2 x cpu floor, 5e-3) —",
+        "the kernel must sit at least as close to the f64 oracle as the",
+        "platform's own trusted estimator — AND the jnp-TPU allowance is",
+        "itself bounded at max(10 x max(cpu floor, tpu-replay floor), 2e-2):",
+        "a regression in the shared jnp gradient path cannot inflate its",
+        "own gate into a PASS (it FAILs the block instead).",
+        "",
+        "| block | f32 floor (CPU) | f32 replay (TPU) | jnp AD (TPU) "
+        "| Pallas (TPU) | gate | pass |",
+        "|---|---|---|---|---|---|---|",
     ]
 
     loss_jn, (ds_jn, dc_jn) = jax.block_until_ready(
@@ -153,23 +206,43 @@ def main() -> int:
         ad_loss_and_grads_pallas(scene, cam, cfg_pn, 0, target)
     )
 
+    # f32 replay of the ORACLE'S OWN decisions on this backend: pure
+    # cross-platform arithmetic drift (fma/rsqrt contraction), decision
+    # flips structurally excluded. This is the independently-measured
+    # platform floor that bounds the jnp-AD allowance (ADVICE r2: without
+    # it a regression in the shared jnp path inflates its own gate).
+    ds_rep = dc_rep = None
+    if recs_tpu is not None:
+        from pathtrace_tpu.ops.frozen import replay_loss_grads
+
+        cfg_rep = dataclasses.replace(cfg_jn, spp_chunk=oracle_spp_chunk)
+        _, (ds_rep, dc_rep) = jax.block_until_ready(
+            replay_loss_grads(scene, cam, cfg_rep, 0, recs_tpu, target)
+        )
+
     def cam_yp(dc):
         return np.array([float(dc.yaw), float(dc.pitch)], np.float64)
 
     blocks = [
-        ("d emission", "d_emission", ds_jn.emission, ds_pn.emission),
-        ("d albedo", "d_albedo", ds_jn.color, ds_pn.color),
-        ("d position", "d_position", ds_jn.position, ds_pn.position),
-        ("d radius", "d_radius", ds_jn.radius, ds_pn.radius),
-        ("d camera pos", "d_cam_position", dc_jn.position, dc_pn.position),
+        ("d emission", "d_emission", ds_jn.emission, ds_pn.emission,
+         None if ds_rep is None else ds_rep.emission),
+        ("d albedo", "d_albedo", ds_jn.color, ds_pn.color,
+         None if ds_rep is None else ds_rep.color),
+        ("d position", "d_position", ds_jn.position, ds_pn.position,
+         None if ds_rep is None else ds_rep.position),
+        ("d radius", "d_radius", ds_jn.radius, ds_pn.radius,
+         None if ds_rep is None else ds_rep.radius),
+        ("d camera pos", "d_cam_position", dc_jn.position, dc_pn.position,
+         None if dc_rep is None else dc_rep.position),
         (
             "d camera yaw/pitch",
             None,
             cam_yp(dc_jn),
             cam_yp(dc_pn),
+            None if dc_rep is None else cam_yp(dc_rep),
         ),
     ]
-    for name, key, g_jnp, g_pal in blocks:
+    for name, key, g_jnp, g_pal, g_rep in blocks:
         if key is None:
             oracle = np.array(
                 [float(orc["f64_d_cam_yaw"]), float(orc["f64_d_cam_pitch"])]
@@ -181,14 +254,25 @@ def main() -> int:
             oracle = orc[f"f64_{key}"]
             floor32 = orc[f"f32_{key}"]
         e_floor = rel_err(floor32, oracle)
+        e_rep = rel_err(g_rep, oracle) if g_rep is not None else None
         e_jnp = rel_err(g_jnp, oracle)
         e_pal = rel_err(g_pal, oracle)
-        gate = max(e_jnp, 2.0 * e_floor, 5e-3)
-        good = e_pal <= gate
+        # The jnp-AD allowance is itself bounded: platform delta may not
+        # exceed 10x the worse of the two measured floors (same-platform
+        # f32 accumulation; same-decision cross-platform drift) or an
+        # absolute 2e-2 — beyond that it is a bug, not noise, and the
+        # block FAILs regardless of how close Pallas sits to it.
+        floor = max(e_floor, e_rep) if e_rep is not None else e_floor
+        ceil_jnp = max(10.0 * floor, 2e-2)
+        jnp_ok = e_jnp <= ceil_jnp
+        gate = max(min(e_jnp, ceil_jnp), 2.0 * e_floor, 5e-3)
+        good = (e_pal <= gate) and jnp_ok
         ok &= good
+        rep_txt = f"{e_rep:.2e}" if e_rep is not None else "—"
         lines.append(
-            f"| {name} | {e_floor:.2e} | {e_jnp:.2e} | {e_pal:.2e} | "
-            f"{gate:.2e} | {'PASS' if good else 'FAIL'} |"
+            f"| {name} | {e_floor:.2e} | {rep_txt} | {e_jnp:.2e} "
+            f"(≤{ceil_jnp:.1e}) | {e_pal:.2e} | {gate:.2e} | "
+            f"{'PASS' if good else 'FAIL'} |"
         )
 
     # Cross-backend forward agreement at the record point (the oracle's

@@ -78,13 +78,42 @@ def main() -> int:
         RenderConfig(width=S, height=S, spp=SPP, backend="jnp", spp_chunk=2),
         nee=True,
     )
+    # FD probes replay a recs PREFIX: the slice below is only chunk-aligned
+    # when fd_spp divides evenly into spp_chunk-sized chunks (ADVICE r2).
+    assert cfg.spp_chunk > 0 and args.fd_spp % cfg.spp_chunk == 0, (
+        f"--fd-spp {args.fd_spp} must be a positive multiple of "
+        f"spp_chunk={cfg.spp_chunk}"
+    )
     target = jnp.zeros((S, S, 3), jnp.float32)
-    out = {"size": S, "spp": SPP, "fd_spp": args.fd_spp}
+    # The full lattice-defining config travels with the artifact so phase B
+    # can refuse a mismatched oracle (ADVICE r2: size+spp alone would let a
+    # different seed/bounces/brdf/nee lattice gate silently).
+    out = {
+        "size": S, "spp": SPP, "fd_spp": args.fd_spp,
+        "seed": cfg.seed, "max_bounces": cfg.max_bounces,
+        "brdf": np.array(cfg.brdf), "nee": cfg.nee,
+        "light_index": cfg.light_index, "spp_chunk": cfg.spp_chunk,
+    }
 
     t0 = time.time()
     color, recs = record_frame(scene, cam, cfg)
     out["record_color"] = np.asarray(color, np.float32)
     print(f"[A1] recorded {S}^2 x {SPP} spp in {time.time()-t0:.0f}s", flush=True)
+
+    # Decisions artifact (compact dtypes): lets phase B run the f32 replay
+    # on the oracle's OWN decisions ON TPU — the true cross-platform
+    # arithmetic-drift floor, free of borderline decision flips.
+    dec_path = os.path.join(os.path.dirname(args.out) or ".", "decisions.npz")
+    dec_out = {"n_chunks": len(recs)}
+    for i, d in enumerate(recs):
+        dec_out[f"c{i}_idx"] = np.asarray(d.idx, np.int8)
+        dec_out[f"c{i}_use_near"] = np.asarray(d.use_near, np.uint8)
+        dec_out[f"c{i}_facing"] = np.asarray(d.facing, np.uint8)
+        dec_out[f"c{i}_ortho"] = np.asarray(d.ortho, np.uint8)
+        dec_out[f"c{i}_vis"] = np.asarray(d.vis, np.uint8)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    np.savez_compressed(dec_path, **dec_out)
+    print(f"[A1] wrote {dec_path}", flush=True)
 
     t0 = time.time()
     loss32, (ds32, dc32) = replay_loss_grads(scene, cam, cfg, 0, recs, target)

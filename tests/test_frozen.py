@@ -52,6 +52,7 @@ def test_record_matches_renderer_bitwise(setup, cfg):
 
 
 @pytest.mark.parametrize("cfg", [CFG, CFG_NEE], ids=["diffuse", "nee"])
+@pytest.mark.slow
 def test_replay_reproduces_forward(setup, cfg):
     scene, cam = setup
     color_rec, recs = record_frame(scene, cam, cfg)
@@ -62,6 +63,7 @@ def test_replay_reproduces_forward(setup, cfg):
     )
 
 
+@pytest.mark.slow
 def test_frozen_grad_equals_estimator(setup):
     """grad of the frozen replay == grad of the live estimator at the
     record point, for EVERY parameter — decision capture is complete."""
@@ -96,6 +98,7 @@ def test_frozen_grad_equals_estimator(setup):
         assert np.abs(a - b).max() / scale < 2e-4, name
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize(
     "pick,perturb,eps",
     [

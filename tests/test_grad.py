@@ -160,6 +160,7 @@ def test_nee_gives_color_geometry_grads(setup):
     np.testing.assert_allclose(ad, fd, rtol=0.08, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_remat_matches_plain(setup):
     """grad_config (chunked+remat) must give the same gradients."""
     scene, cam = setup

@@ -8,6 +8,7 @@ from pathtrace_tpu import Camera, RenderConfig, cornell_box
 from pathtrace_tpu.inverse import make_inverse_step, recover_scene
 
 
+@pytest.mark.slow
 def test_recover_wall_albedo():
     """Corrupt the red wall to grey; Adam on pixel L2 must pull it back
     toward red. Tiny render (32^2, 2 spp) keeps CI fast — convergence

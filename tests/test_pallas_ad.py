@@ -83,6 +83,7 @@ def _compare_loss_grads(scene, cam, cfg, target, check_geometry=True):
     return ds_p, dc_p
 
 
+@pytest.mark.slow
 def test_diffuse_loss_grads_match_jnp(setup):
     scene, cam = setup
     target = jnp.zeros((CFG.height, CFG.width, 3), jnp.float32)
@@ -108,6 +109,7 @@ def test_nee_loss_grads_match_jnp(setup):
     assert float(np.abs(np.asarray(dc.position)).max()) > 0.0
 
 
+@pytest.mark.slow
 def test_glossy_loss_grads_match_jnp(setup):
     scene, cam = setup
     cfg = dataclasses.replace(CFG, brdf="glossy", spp=1, max_bounces=2)
@@ -115,6 +117,7 @@ def test_glossy_loss_grads_match_jnp(setup):
     _compare_loss_grads(scene, cam, cfg, target, check_geometry=False)
 
 
+@pytest.mark.slow
 def test_aov_probe_grads_match_jnp(setup):
     """Depth/normal cotangents: the geometry-gradient workhorses (grad.py
     render_geometry_grads) now run all-Pallas."""
@@ -143,8 +146,10 @@ def test_aov_probe_grads_match_jnp(setup):
 
 
 def test_albedo_cotangent_grads(setup):
+    """Fast smoke for the in-kernel-AD backward (full-config comparisons
+    are slow-marked)."""
     scene, cam = setup
-    cfg = CFG
+    cfg = dataclasses.replace(CFG, spp=1, max_bounces=2)
 
     def probe(scene_, cam_):
         aovs = render_aovs_diff(scene_, cam_, cfg, 0)

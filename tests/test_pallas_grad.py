@@ -19,6 +19,7 @@ def setup():
     return scene, cam, target
 
 
+@pytest.mark.slow
 def test_pallas_grads_match_jnp_ad(setup):
     """Same RNG lattice on both paths: the hand-derived product-chain
     backward must agree with autodiff (up to fp-rounding trajectory
@@ -50,6 +51,7 @@ def test_pallas_grads_match_jnp_ad(setup):
     np.testing.assert_array_equal(np.asarray(ds_j.position), 0.0)
 
 
+@pytest.mark.slow
 def test_pallas_cross_grads_match_jnp_ad(setup):
     """The all-Pallas inverse-rendering step (cross-estimator over two
     independent renders) against jnp AD of the same estimator."""
@@ -84,6 +86,7 @@ def test_pallas_cross_grads_match_jnp_ad(setup):
         )
 
 
+@pytest.mark.slow
 def test_fused_matches_two_pass_replay(setup):
     """The single-pass fused kernel (cotangent-free accumulators contracted
     after the spp loop) against the two-pass replay kernel with the
@@ -113,8 +116,13 @@ def test_fused_matches_two_pass_replay(setup):
 
 
 def test_pallas_grads_nonzero(setup):
+    """Fast smoke for the product-chain backward kernel (the full lattice
+    comparisons above are slow-marked; this keeps one per-commit gate)."""
+    import dataclasses
+
     scene, cam, target = setup
-    _, (ds, _) = pallas_loss_and_grads(scene, cam, CFG, 0, target, interpret=True)
+    small = dataclasses.replace(CFG, spp=1, max_bounces=2)
+    _, (ds, _) = pallas_loss_and_grads(scene, cam, small, 0, target, interpret=True)
     assert float(jnp.abs(ds.emission).sum()) > 0
     assert float(jnp.abs(ds.color).sum()) > 0
     # The light's emission and the walls' albedo must carry gradient.

@@ -41,7 +41,10 @@ def test_sharded_matches_single_chip(setup, tiles, samples):
         )
 
 
-@pytest.mark.parametrize("tiles,samples", [(8, 1), (2, 4)])
+@pytest.mark.parametrize(
+    "tiles,samples",
+    [pytest.param(8, 1, marks=pytest.mark.slow), (2, 4)],
+)
 def test_sharded_pallas_matches_single_chip_pallas(setup, tiles, samples):
     """The megakernel under shard_map (VERDICT round-1 item #1): every
     device runs the Pallas kernel on its (row-slab, spp-range) shard with

@@ -52,3 +52,49 @@ def test_indivisible_height_raises(net):
         denoise_spatially_sharded(
             jnp.zeros((60, 64, 14)), mesh, params=params, model=model
         )
+
+
+# ---- flagship FPN DenoiseCNN (VERDICT r2 item #4) -------------------------
+
+
+@pytest.fixture(scope="module")
+def fpn_net():
+    from pathtrace_tpu.models.denoise_cnn import init_variables
+
+    model, variables = init_variables(jax.random.key(2), 64, 64)
+    # Randomize the BatchNorm running stats so the sharded BN path is
+    # exercised with non-trivial affine terms (fresh init is mean=0/var=1).
+    rng = np.random.default_rng(3)
+    stats = jax.tree.map(
+        lambda a: jnp.asarray(
+            np.abs(rng.normal(1.0, 0.3, a.shape)) + 0.1, a.dtype
+        ),
+        variables["batch_stats"],
+    )
+    return model, {"params": variables["params"], "batch_stats": stats}
+
+
+@pytest.mark.parametrize("tiles", [2, 4, 8])
+def test_fpn_sharded_equals_full_frame(fpn_net, tiles):
+    """The hybrid row-sharded DenoiseCNN (halo encoder head, gathered
+    core, sharded top-down tail) equals full-frame inference."""
+    from pathtrace_tpu.models.fpn_spatial import denoise_fpn_sharded
+
+    model, variables = fpn_net
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.uniform(size=(64, 64, 14)), jnp.float32)
+    full = model.apply(variables, x[None], train=False)[0]
+    mesh = make_mesh(tiles=tiles, samples=8 // tiles)
+    out = denoise_fpn_sharded(x, mesh, variables, model=model)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(full), rtol=1e-5, atol=2e-5
+    )
+
+
+def test_fpn_constraint_raises(fpn_net):
+    from pathtrace_tpu.models.fpn_spatial import denoise_fpn_sharded
+
+    model, variables = fpn_net
+    mesh = make_mesh(tiles=8, samples=1)
+    with pytest.raises(ValueError, match="needs"):
+        denoise_fpn_sharded(jnp.zeros((48, 64, 14)), mesh, variables, model=model)
