@@ -20,8 +20,11 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: repeat test runs skip XLA recompiles (keyed
-# by HLO hash, so code changes invalidate exactly what they touch).
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+# by HLO hash, so code changes invalidate exactly what they touch). One
+# cache dir PER xdist worker: concurrently shared AOT entries have been
+# observed to crash workers on load (machine-feature mismatch).
+_worker = os.environ.get("PYTEST_XDIST_WORKER", "gw0")
+jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_test_cache_{_worker}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 

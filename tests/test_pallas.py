@@ -162,6 +162,7 @@ def test_sample_offset_slices_global_lattice():
     )
 
 
+@pytest.mark.slow
 def test_partials_match_jnp_accumulate():
     """emit_partials mode: raw sums + Welford Moments from the megakernel
     must match render.accumulate_frame on the same lattice (up to isolated

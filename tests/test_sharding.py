@@ -68,6 +68,7 @@ def test_sharded_pallas_matches_single_chip_pallas(setup, tiles, samples):
         )
 
 
+@pytest.mark.slow
 def test_sharded_pallas_matches_jnp_sharded(setup):
     """Both backends under the SAME mesh draw the same lattice."""
     scene, cam = setup
