@@ -51,6 +51,7 @@ def test_random_pose_ranges():
         assert 0 <= yaw <= 360 and -89 <= pitch <= 89
 
 
+@pytest.mark.slow
 def test_render_pair_and_exr_export(tmp_path):
     scene = cornell_box()
     cfg = RenderConfig(width=24, height=24, spp=1, backend="jnp")

@@ -3,6 +3,7 @@
 import dataclasses
 
 import numpy as np
+import pytest
 
 from pathtrace_tpu import Camera, RenderConfig, cornell_box
 from pathtrace_tpu.progressive import ProgressiveRenderer, render_high_spp
@@ -11,6 +12,7 @@ from pathtrace_tpu.render import render_aovs
 CFG = RenderConfig(width=24, height=24, spp=12, backend="jnp", seed=4)
 
 
+@pytest.mark.slow
 def test_batched_equals_monolithic(scene, camera):
     ref = render_aovs(scene, camera, CFG)
     prog = ProgressiveRenderer(scene, camera, CFG)

@@ -53,7 +53,7 @@ def test_sharded_pallas_matches_single_chip_pallas(setup, tiles, samples):
     from pathtrace_tpu.ops.pallas_trace import render_channels_pallas
 
     scene, cam = setup
-    cfg = RenderConfig(width=128, height=16, spp=8, backend="pallas", seed=2)
+    cfg = RenderConfig(width=128, height=8, spp=8, backend="pallas", seed=2)
     mesh = make_mesh(tiles=tiles, samples=samples)
     ref = np.asarray(render_channels_pallas(scene, cam, cfg, interpret=True))
     out = np.asarray(
@@ -120,6 +120,7 @@ def test_sharded_grads_match_single_chip(setup):
     )
 
 
+@pytest.mark.slow
 def test_sharded_pallas_grads_match_jnp(setup):
     """All-Pallas SPMD fwd+bwd (megakernel + in-kernel-AD replay under
     shard_map) matches the single-chip jnp gradient on the same lattice."""
