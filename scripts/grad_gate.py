@@ -116,6 +116,24 @@ def main() -> int:
         from pathtrace_tpu.ops.frozen import Decisions
 
         dec = np.load(dec_path, allow_pickle=False)
+        # decisions.npz carries its own lattice stamp (ADVICE r3): validate
+        # it exactly like the oracle's — adjacency to oracle.npz is not
+        # proof the pair was generated together (the two files are written
+        # at different times; an interrupted regeneration could mismatch
+        # them and silently shift the TPU-replay floor).
+        if "size" in dec.files:
+            d_expect = {
+                "size": S, "spp": SPP, "seed": cfg_jn.seed,
+                "max_bounces": cfg_jn.max_bounces, "brdf": cfg_jn.brdf,
+                "nee": cfg_jn.nee, "light_index": cfg_jn.light_index,
+                "spp_chunk": oracle_spp_chunk,
+            }
+            for k, want in d_expect.items():
+                got = dec[k].item() if dec[k].shape == () else dec[k]
+                assert got == want, f"decisions {k}={got} != gate config {want}"
+        else:
+            print("WARNING: legacy decisions.npz without config stamp — "
+                  "re-run scripts/grad_oracle_cpu.py to regenerate the pair")
         recs_tpu = [
             Decisions(
                 idx=jnp.asarray(dec[f"c{i}_idx"], jnp.int32),

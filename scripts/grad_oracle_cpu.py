@@ -104,7 +104,17 @@ def main() -> int:
     # on the oracle's OWN decisions ON TPU — the true cross-platform
     # arithmetic-drift floor, free of borderline decision flips.
     dec_path = os.path.join(os.path.dirname(args.out) or ".", "decisions.npz")
-    dec_out = {"n_chunks": len(recs)}
+    # Stamp decisions.npz with the same lattice-defining config as
+    # oracle.npz (ADVICE r3): the two files are written at different times,
+    # so an interrupted regeneration must not leave a silently mismatched
+    # pair — grad_gate.py validates this stamp exactly like the oracle's.
+    dec_out = {
+        "n_chunks": len(recs),
+        "size": S, "spp": SPP, "seed": cfg.seed,
+        "max_bounces": cfg.max_bounces, "brdf": np.array(cfg.brdf),
+        "nee": cfg.nee, "light_index": cfg.light_index,
+        "spp_chunk": cfg.spp_chunk,
+    }
     for i, d in enumerate(recs):
         dec_out[f"c{i}_idx"] = np.asarray(d.idx, np.int8)
         dec_out[f"c{i}_use_near"] = np.asarray(d.use_near, np.uint8)

@@ -10,9 +10,10 @@ Two experiments, both starting from a deliberately corrupted Cornell box:
 
 1. **Albedo recovery** (diffuse, hand-derived product-chain backward):
    all 9 sphere albedos perturbed; Adam on the cross-estimator L2.
-2. **Geometry + albedo recovery** (NEE, in-kernel-AD backward): the
-   mirror-side sphere displaced and shrunk + albedos perturbed; optimize
-   position, radius and color jointly.
+2. **Geometry recovery** (NEE, in-kernel-AD backward): the mirror-side
+   sphere displaced and shrunk; optimize its position and radius (albedos
+   held fixed — the geometry blocks are the hard, cancellation-heavy case
+   the in-kernel-AD path exists for).
 
 Outputs: docs/inverse_{albedo,geometry}_{before,after,target}.png,
 docs/inverse_curves.png, docs/INVERSE.md (tables of true/corrupted/
