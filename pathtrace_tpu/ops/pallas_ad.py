@@ -95,10 +95,22 @@ def _ad_grad_kernel(
 
     sc = read_scene_scalars(scene_ref, num_spheres)
     eye, basis = read_cam_scalars(cam_ref)
+    # Tile-broadcast every parameter BEFORE the vjp: with [TH, TW]-shaped
+    # inputs, every backward op stays elementwise and the parameter
+    # cotangents come back as [TH, TW] partials. The previous scalar-input
+    # formulation forced ~105 cross-lane tile reductions PER SAMPLE (the
+    # pullback of scalar->tile broadcast is a full reduction) — measured at
+    # 512^2 x 32 spp that was the difference between 1.1 and >2 Grays/s.
+    # Per-pixel partials accumulate across the spp loop and are reduced
+    # ONCE per tile after it.
+    sc_t = tuple(tuple(jnp.full(shape, v) for v in row) for row in sc)
+    eye_t = tuple(jnp.full(shape, v) for v in eye)
+    basis_t = tuple(tuple(jnp.full(shape, v) for v in corner) for corner in basis)
 
     # Zero cotangents on out-of-image pad lanes.
     in_image = (rows_i < height) & (cols_i < width)
     ct = tuple(jnp.where(in_image, ct_ref[k], 0.0) for k in range(NUM_CT))
+    ones = jnp.ones(shape, jnp.float32)
 
     def sample_body(s, carry):
         s_u = sample_offset + s
@@ -125,23 +137,25 @@ def _ad_grad_kernel(
                 nee_light_index=nee_light_index,
                 brdf=brdf,
             )
-            total = (
+            # Per-pixel contraction: the cotangent of this [TH, TW] output
+            # is all-ones, so d(total)/d(param tile) is the per-pixel
+            # parameter gradient.
+            return (
                 ct[0] * col_r + ct[1] * col_g + ct[2] * col_b
                 + ct[3] * fn_x + ct[4] * fn_y + ct[5] * fn_z
                 + ct[6] * fa_r + ct[7] * fa_g + ct[8] * fa_b
                 + ct[9] * f_d
             )
-            return jnp.sum(total)
 
-        _, vjp_fn = jax.vjp(f, sc, eye, basis)
-        grads = vjp_fn(jnp.float32(1.0))
-        flat = jax.tree_util.tree_leaves(grads)
-        # Kahan-compensated accumulation: per-sample gradients of the
-        # geometry parameters cancel heavily (the r=1e5 wall spheres), so a
-        # plain f32 running sum loses ~1% of the NET value by spp 32.
-        # Kahan bounds the error at ~2 ulp of the largest partial
-        # independent of spp (Mosaic has no f64; this is the TPU-native
-        # equivalent).
+        _, vjp_fn = jax.vjp(f, sc_t, eye_t, basis_t)
+        grads = vjp_fn(ones)
+        flat = jax.tree_util.tree_leaves(grads)  # 105 x [TH, TW] partials
+        # Kahan-compensated elementwise accumulation: per-sample gradients
+        # of the geometry parameters cancel heavily (the r=1e5 wall
+        # spheres), so a plain f32 running sum loses ~1% of the NET value
+        # by spp 32. Kahan bounds the error at ~2 ulp of the largest
+        # partial independent of spp (Mosaic has no f64; this is the
+        # TPU-native equivalent).
         sums, comps = carry
         new_sums, new_comps = [], []
         for s_, c_, g in zip(sums, comps, flat):
@@ -152,10 +166,12 @@ def _ad_grad_kernel(
         return tuple(new_sums), tuple(new_comps)
 
     n_par = num_spheres * 10 + 3 + 12
-    zeros_par = (jnp.float32(0.0),) * n_par
-    (acc, _comp) = jax.lax.fori_loop(
+    zeros_par = (jnp.zeros(shape, jnp.float32),) * n_par
+    (acc_t, _comp) = jax.lax.fori_loop(
         0, spp, sample_body, (zeros_par, zeros_par), unroll=False
     )
+    # One cross-lane reduction per parameter per TILE (not per sample).
+    acc = tuple(jnp.sum(a) for a in acc_t)
 
     # Scalar grads -> dense block rows: sphere i in row i (10 cols), eye in
     # row N (3 cols), basis corner k in row N+1+k (3 cols). Dense masked
@@ -253,6 +269,11 @@ def _launch_ad_grads(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            # The 105-array accumulator carry + the vjp residuals exceed
+            # the compiler's default 16 MiB scoped-vmem budget for tiles
+            # wider than 256 lanes; the physical VMEM is larger — raise
+            # the cap so tile width is a real tuning axis.
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
     )(scene_params, cam_params, seed_arr, ct)

@@ -128,9 +128,12 @@ def trace_tile_sample(
     dx = bilerp_basis(0, u, v)
     dy = bilerp_basis(1, u, v)
     dz = bilerp_basis(2, u, v)
-    ox = jnp.full(shape, eye_x)
-    oy = jnp.full(shape, eye_y)
-    oz = jnp.full(shape, eye_z)
+    # broadcast_to, not jnp.full: the in-kernel-AD path (ops/pallas_ad.py)
+    # passes TILE-shaped parameters, and jnp.full of an already-array fill
+    # value lowers via device_put, which Mosaic cannot lower.
+    ox = jnp.broadcast_to(eye_x, shape).astype(jnp.float32)
+    oy = jnp.broadcast_to(eye_y, shape).astype(jnp.float32)
+    oz = jnp.broadcast_to(eye_z, shape).astype(jnp.float32)
 
     col_r = zeros
     col_g = zeros
@@ -628,7 +631,14 @@ def _launch_pathtrace(
         brdf=cfg.brdf,
         color_only=color_only,
     )
-    flops_per_segment = 350  # ~intersection(9 spheres) + shading + sampling
+    # Counted, not estimated: the roofline counter traces the kernel's own
+    # per-sample op sequence (utils/roofline.py; lru-cached per config).
+    # ~494 f32 flops + 60 int + 14 transcendental per segment for the
+    # diffuse Cornell config; NEE raises it to ~782 flops.
+    from pathtrace_tpu.utils.roofline import megakernel_ops
+
+    seg_ops = megakernel_ops(cfg, scene.num_objects)["per_segment"]
+    n_segments = pad_h * pad_w * spp * cfg.max_bounces
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -644,9 +654,9 @@ def _launch_pathtrace(
         ),
         out_shape=jax.ShapeDtypeStruct((n_ch, pad_h, pad_w), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=flops_per_segment * pad_h * pad_w * spp * cfg.max_bounces,
+            flops=int(seg_ops["flops"] * n_segments),
             bytes_accessed=n_ch * pad_h * pad_w * 4,
-            transcendentals=3 * pad_h * pad_w * spp * cfg.max_bounces,
+            transcendentals=int(seg_ops["transcendentals"] * n_segments),
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
     )(scene_params, cam_params, seed_arr)
