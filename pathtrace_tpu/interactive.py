@@ -39,7 +39,15 @@ def to_display(color: jnp.ndarray) -> jnp.ndarray:
 
 class FrameStepper:
     """Stateful interactive session: camera + denoising toggle + frame
-    counter. ``step()`` renders one frame and returns display RGB uint8."""
+    counter. ``step()`` renders one frame and returns display RGB uint8.
+
+    With ``progressive=True`` (the viewer's mode), a still camera CONVERGES
+    instead of re-rendering the same noise: each idle step accumulates more
+    spp into the running Welford partials (progressive.ProgressiveRenderer
+    — the same associative moment algebra the 20,000-spp GT renderer uses)
+    and any camera motion restarts the accumulation at ``cfg.spp``. This
+    exceeds the reference's frame loop (``src/main.cu:146-177``), which
+    renders a fixed spp forever and never refines."""
 
     def __init__(
         self,
@@ -48,31 +56,68 @@ class FrameStepper:
         cfg: RenderConfig,
         denoising: bool = False,
         checkpoint: Optional[str] = None,
+        progressive: bool = False,
+        max_spp: int = 16384,
     ):
         self.scene = scene
         self.camera = camera
         self.cfg = cfg
         self.denoising = denoising
         self.checkpoint = checkpoint
+        self.progressive = progressive
+        self.max_spp = max_spp
         self.frame = 0
         self.last_ms = float("nan")
+        self._prog = None
+        self._moved = True
+
+    @property
+    def spp_accumulated(self) -> int:
+        """Samples currently in the displayed image (HUD)."""
+        if self.progressive and self._prog is not None:
+            return self._prog.samples_done
+        return self.cfg.spp
 
     # -- control semantics (Window.h key handling) -------------------------
     def move(self, direction: str, delta_time: float = 1.0 / 60.0):
         """WASD: forward/backward/left/right."""
         self.camera = self.camera.move(direction, delta_time)
+        self._moved = True
 
     def look(self, dx: float, dy: float):
         self.camera = self.camera.look(dx, dy)
+        self._moved = True
 
     def toggle_denoising(self):
-        """TAB (Window.h:168-169)."""
+        """TAB (Window.h:168-169). Does NOT reset the accumulator — it
+        only switches the display path."""
         self.denoising = not self.denoising
 
     # -- frame step --------------------------------------------------------
+    def _step_aovs(self):
+        if not self.progressive:
+            return render_aovs(self.scene, self.camera, self.cfg, frame=self.frame)
+        from pathtrace_tpu.progressive import ProgressiveRenderer
+
+        if self._moved or self._prog is None:
+            # Camera moved: restart accumulation for the new pose on a
+            # fresh frame index (the lattice key, like the reference's
+            # persistent curand streams advancing per frame).
+            self._prog = ProgressiveRenderer(
+                self.scene, self.camera, self.cfg, frame=self.frame
+            )
+            self._moved = False
+            self._prog.accumulate(max(self.cfg.spp, 1))
+        elif self._prog.samples_done < self.max_spp:
+            # Idle: refine. Geometric batch growth keeps early refreshes
+            # fast and late batches launch-efficient.
+            batch = min(max(self._prog.samples_done, self.cfg.spp, 1), 512)
+            self._prog.accumulate(min(batch, self.max_spp - self._prog.samples_done))
+        return self._prog.aovs()
+
     def step(self) -> np.ndarray:
         t0 = time.perf_counter()
-        aovs = render_aovs(self.scene, self.camera, self.cfg, frame=self.frame)
+        aovs = self._step_aovs()
         if self.denoising and self.checkpoint:
             from pathtrace_tpu.models.infer import denoise_channels
 

@@ -10,9 +10,17 @@ BMP the page blits to an ``<img>``. One render in flight at a time (the
 page awaits each response), so control latency is exactly one frame, like
 the reference's render loop (``src/main.cu:146-177``).
 
+While the camera is still, the frame CONVERGES: each idle step folds more
+spp into the running Welford partials (interactive.FrameStepper
+progressive mode on progressive.ProgressiveRenderer) and the HUD shows the
+live spp count; any movement restarts accumulation at ``cfg.spp``. The
+reference renders a fixed spp forever ("interactive realtime",
+``README.md:8``) — progressive refinement exceeds it.
+
 Start with ``tpu-pathtrace --viewer [--denoising]`` and open the printed
 URL. Key map (Window.h:133-169): WASD move, drag = mouse look, TAB toggles
-denoising, SPACE prints the camera pose on the server console.
+denoising, SPACE prints the camera pose on the server console, ESC shuts
+the viewer down (Window.h:152-153).
 """
 
 from __future__ import annotations
@@ -35,14 +43,15 @@ body { margin:0; background:#111; color:#ccc; font:13px monospace;
 #view { image-rendering:pixelated; margin-top:8px; cursor:crosshair }
 #hud  { padding:6px }
 </style></head><body>
-<div id="hud">WASD move &middot; drag to look &middot; TAB denoise &middot; SPACE pose &middot; connecting&hellip;</div>
+<div id="hud">WASD move &middot; drag to look &middot; TAB denoise &middot; SPACE pose &middot; ESC quit &middot; connecting&hellip;</div>
 <img id="view" width="WIDTH" height="HEIGHT">
 <script>
 const keys = new Set();
-let dx = 0, dy = 0, tab = 0, space = 0;
+let dx = 0, dy = 0, tab = 0, space = 0, esc = 0;
 window.addEventListener('keydown', e => {
   if (e.code === 'Tab') { tab++; e.preventDefault(); }
   else if (e.code === 'Space') { space++; e.preventDefault(); }
+  else if (e.code === 'Escape') { esc++; e.preventDefault(); }
   else keys.add(e.code);
 });
 window.addEventListener('keyup', e => keys.delete(e.code));
@@ -58,17 +67,19 @@ const hud = document.getElementById('hud');
 let url = null;
 async function loop() {
   while (true) {
-    const payload = { keys: Array.from(keys), dx, dy, tab, space };
+    const payload = { keys: Array.from(keys), dx, dy, tab, space, esc };
     dx = 0; dy = 0; tab = 0; space = 0;
     try {
       const r = await fetch('/step', { method: 'POST', body: JSON.stringify(payload) });
+      if (r.headers.get('X-Quit') === '1') { hud.textContent = 'viewer shut down (ESC)'; return; }
       const ms = r.headers.get('X-Frame-Ms'), den = r.headers.get('X-Denoising');
+      const spp = r.headers.get('X-Spp');
       const blob = await r.blob();
       if (url) URL.revokeObjectURL(url);
       url = URL.createObjectURL(blob);
       img.src = url;
-      hud.textContent = `frame ${r.headers.get('X-Frame')} | ${Number(ms).toFixed(1)} ms | ` +
-        `${(1000 / Number(ms)).toFixed(1)} fps | denoising ${den}` ;
+      hud.textContent = `frame ${r.headers.get('X-Frame')} | ${spp} spp | ` +
+        `${Number(ms).toFixed(1)} ms | ${(1000 / Number(ms)).toFixed(1)} fps | denoising ${den}` ;
     } catch (e) { hud.textContent = 'disconnected: ' + e; await new Promise(s => setTimeout(s, 500)); }
   }
 }
@@ -128,13 +139,27 @@ class ViewerServer:
                     payload = json.loads(self.rfile.read(length) or b"{}")
                 except json.JSONDecodeError:
                     payload = {}
-                body, frame, ms, den = viewer.step(payload)
+                if payload.get("esc"):
+                    # ESC quit (Window.h:152-153): acknowledge, then shut
+                    # the server down from another thread (shutdown() from
+                    # inside a handler would deadlock serve_forever).
+                    self.send_response(200)
+                    self.send_header("Content-Length", "0")
+                    self.send_header("X-Quit", "1")
+                    self.end_headers()
+                    viewer.logger("viewer: ESC — shutting down")
+                    threading.Thread(
+                        target=viewer.httpd.shutdown, daemon=True
+                    ).start()
+                    return
+                body, frame, ms, den, spp = viewer.step(payload)
                 self.send_response(200)
                 self.send_header("Content-Type", "image/bmp")
                 self.send_header("Content-Length", str(len(body)))
                 self.send_header("X-Frame", str(frame))
                 self.send_header("X-Frame-Ms", f"{ms:.3f}")
                 self.send_header("X-Denoising", "on" if den else "off")
+                self.send_header("X-Spp", str(spp))
                 self.end_headers()
                 self.wfile.write(body)
 
@@ -159,7 +184,10 @@ class ViewerServer:
             if payload.get("space"):
                 self.logger(s.camera.pose_string())
             rgb = s.step()
-            return _bmp_bytes(rgb), s.frame - 1, s.last_ms, s.denoising
+            return (
+                _bmp_bytes(rgb), s.frame - 1, s.last_ms, s.denoising,
+                s.spp_accumulated,
+            )
 
 
 def serve(
@@ -173,7 +201,9 @@ def serve(
     logger=print,
 ):
     """Blocking viewer entry point (``tpu-pathtrace --viewer``)."""
-    stepper = FrameStepper(scene, camera, cfg, denoising, checkpoint)
+    stepper = FrameStepper(
+        scene, camera, cfg, denoising, checkpoint, progressive=True
+    )
     server = ViewerServer(stepper, host, port, logger)
     logger(f"viewer: http://{server.host}:{server.port}/  (Ctrl-C to quit)")
     try:

@@ -60,3 +60,57 @@ def test_run_interactive_writes_frames(tmp_path, capsys):
     files = sorted(os.listdir(out_dir))
     assert files == ["frame_00000.bmp", "frame_00001.bmp", "frame_00002.bmp"]
     assert "fps" in capsys.readouterr().out
+
+
+def test_progressive_accumulate_reset_state_machine():
+    """Progressive mode: idle steps accumulate spp on the SAME lattice
+    (exactly a monolithic higher-spp render at the reset frame), any
+    camera motion restarts accumulation, TAB does not."""
+    from pathtrace_tpu.render import render_aovs
+
+    cfg = RenderConfig(width=32, height=32, spp=2, backend="jnp")
+    stepper = FrameStepper(
+        cornell_box(), Camera.create(), cfg, progressive=True
+    )
+    stepper.step()
+    assert stepper.spp_accumulated == 2
+    stepper.step()
+    assert stepper.spp_accumulated == 4
+    stepper.step()
+    assert stepper.spp_accumulated == 8
+
+    # Accumulated partials == one monolithic 8-spp render of frame 0.
+    import dataclasses
+
+    want = render_aovs(
+        cornell_box(),
+        Camera.create(),
+        dataclasses.replace(cfg, spp=8),
+        frame=0,
+    )
+    got = stepper._prog.aovs()
+    np.testing.assert_allclose(
+        np.asarray(got["color"]), np.asarray(want["color"]), rtol=1e-5, atol=1e-6
+    )
+
+    # TAB must NOT reset the accumulator...
+    stepper.toggle_denoising()
+    stepper.step()
+    assert stepper.spp_accumulated > 8
+    # ...but motion must.
+    stepper.move("forward", 0.1)
+    stepper.step()
+    assert stepper.spp_accumulated == 2
+    stepper.look(3.0, 0.0)
+    stepper.step()
+    assert stepper.spp_accumulated == 2
+
+
+def test_progressive_max_spp_cap():
+    cfg = RenderConfig(width=16, height=16, spp=2, backend="jnp")
+    stepper = FrameStepper(
+        cornell_box(), Camera.create(), cfg, progressive=True, max_spp=6
+    )
+    for _ in range(5):
+        stepper.step()
+    assert stepper.spp_accumulated == 6  # capped: 2 + 2 + 2, then idle

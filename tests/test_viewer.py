@@ -87,3 +87,38 @@ def test_encode_bmp_roundtrip(tmp_path):
     path = tmp_path / "x.bmp"
     path.write_bytes(body)
     np.testing.assert_array_equal(read_bmp(str(path)), rgb)
+
+
+def test_spp_header_and_progressive_refinement():
+    """A still camera converges: X-Spp grows across idle steps and resets
+    on motion (progressive mode is what `serve()` runs)."""
+    scene, cam = cornell_box(), Camera.create()
+    cfg = RenderConfig(width=32, height=32, spp=2, max_bounces=2, backend="jnp")
+    stepper = FrameStepper(scene, cam, cfg, progressive=True)
+    srv = ViewerServer(stepper, host="127.0.0.1", port=0, logger=lambda *a: None)
+    thread = threading.Thread(target=srv.httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        _, h1 = _post(srv, {})
+        _, h2 = _post(srv, {})
+        assert int(h2["X-Spp"]) > int(h1["X-Spp"]) == 2
+        _, h3 = _post(srv, {"keys": ["KeyW"]})
+        assert int(h3["X-Spp"]) == 2  # motion resets accumulation
+    finally:
+        srv.httpd.shutdown()
+
+
+def test_esc_shuts_down_server():
+    """ESC quit parity (Window.h:152-153): the ESC step answers X-Quit and
+    the server stops serving."""
+    scene, cam = cornell_box(), Camera.create()
+    cfg = RenderConfig(width=16, height=16, spp=1, max_bounces=2, backend="jnp")
+    stepper = FrameStepper(scene, cam, cfg)
+    srv = ViewerServer(stepper, host="127.0.0.1", port=0, logger=lambda *a: None)
+    thread = threading.Thread(target=srv.httpd.serve_forever, daemon=True)
+    thread.start()
+    _, headers = _post(srv, {"esc": 1})
+    assert headers["X-Quit"] == "1"
+    thread.join(timeout=10)
+    assert not thread.is_alive(), "serve_forever must return after ESC"
+    srv.httpd.server_close()
