@@ -3,8 +3,13 @@
 Headline metric: forward-render throughput of the Pallas megakernel on the
 BASELINE workload (Cornell box, 512x512, 32 spp, 5 bounces), in
 Mrays/s/chip where rays = W*H*spp*bounces path segments. Auxiliary fields
-report the sharded-runtime forward, the all-Pallas forward+backward, the
+report the sharded-runtime forward, the fused (hand-derived) and the
+general (in-kernel-AD, NEE) forward+backward, the MFU/roofline numbers
+(counted kernel flops vs the measured VPU peak — docs/ROOFLINE.md), the
 inverse-rendering step and the interactive denoised-frame rate.
+Cross-round comparison is per-field: ``vs_baseline`` is headline-fwd vs
+the best prior round's headline-fwd, and ``vs_prior`` carries the same
+ratio for every auxiliary metric a prior record also has.
 
 Budget discipline (VERDICT r2 item #1): the harness must finish cold in
 well under the driver budget. It therefore (a) enables the persistent
@@ -32,20 +37,34 @@ import sys
 import time
 
 
-def _prior_value() -> float | None:
-    """Best previous recorded bench value (BENCH_r*.json), for vs_baseline."""
-    best = None
+def _prior_records() -> list[dict]:
+    """All previous driver-recorded bench records (BENCH_r*.json)."""
+    recs = []
     for path in glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")):
         try:
             with open(path) as f:
                 rec = json.load(f)
             if "value" not in rec and isinstance(rec.get("parsed"), dict):
                 rec = rec["parsed"]  # driver wraps the JSON line in "parsed"
-            v = float(rec.get("value", 0.0))
-            if v > 0 and (best is None or v > best):
-                best = v
+            recs.append(rec)
         except Exception:
             pass
+    return recs
+
+
+def _prior_best(recs: list[dict], field: str) -> float | None:
+    """Best prior value of ONE field — cross-round comparisons are always
+    per-field (fwd vs fwd, fwd+bwd vs fwd+bwd; VERDICT r3 weak #2: the
+    old max-over-files 'value' made vs_baseline self-referential and let
+    a methodology change masquerade as speedup)."""
+    best = None
+    for rec in recs:
+        try:
+            v = float(rec.get(field, 0.0))
+        except (TypeError, ValueError):
+            continue
+        if v > 0 and (best is None or v > best):
+            best = v
     return best
 
 
@@ -85,7 +104,8 @@ def main() -> int:
     scene = jax.device_put(cornell_box())
     cam = jax.device_put(Camera.create())
     n_rays = args.size * args.size * args.spp * args.bounces
-    prior = _prior_value()
+    priors = _prior_records()
+    prior = _prior_best(priors, "value")
     t_start = time.time()
 
     # Each dispatch over the axon tunnel carries a fixed ~25-30 ms of RPC/
@@ -115,6 +135,15 @@ def main() -> int:
         return secs / k
 
     def emit(headline, extras):
+        # vs_baseline: headline fwd vs the best PRIOR round's headline fwd
+        # (same field). vs_prior: the same per-field ratio for every other
+        # metric that exists in a prior record — the record explains its
+        # own history without reading bench.py's past (VERDICT r3 item #6).
+        vs_prior = {}
+        for field, cur in extras.items():
+            pv = _prior_best(priors, field)
+            if pv:
+                vs_prior[field] = round(cur / pv, 3)
         result = {
             "metric": (
                 f"Mrays/s/chip fwd (Cornell {args.size}^2 x {args.spp}spp"
@@ -126,8 +155,10 @@ def main() -> int:
             "backend": backend,
             "n_rays_per_frame": n_rays,
             "elapsed_s": round(time.time() - t_start, 1),
-            **{k: round(v, 3) for k, v in extras.items()},
+            **{k: (round(v, 4) if isinstance(v, float) else v) for k, v in extras.items()},
         }
+        if vs_prior:
+            result["vs_prior"] = vs_prior
         print(json.dumps(result), flush=True)
 
     extras = {}
@@ -182,6 +213,45 @@ def main() -> int:
         extras["pallas_fwd_bwd_mrays"] = mrays_per_sec(
             args.size, args.size, args.spp, args.bounces, secs_pg
         )
+        emit(headline, extras)
+
+    # -- Pallas in-kernel-AD fwd+bwd (NEE) ----------------------------------
+    # The GENERAL backward — every parameter (geometry, camera, shading)
+    # under any config; the engine of geometry inverse rendering and the
+    # all-Pallas SPMD training step (parallel/shard.py). Timed at the
+    # BASELINE config with NEE on (VERDICT r3 item #1).
+    if on_tpu and not args.no_grad:
+        import dataclasses
+
+        from pathtrace_tpu.ops.pallas_ad import ad_loss_and_grads_pallas
+
+        cfg_nee = dataclasses.replace(cfg, nee=True)
+
+        def ad_grad_scalar(s, c, f):
+            loss, (d_scene, d_cam) = ad_loss_and_grads_pallas(
+                s, c, cfg_nee, f, target0
+            )
+            return loss + jnp.sum(d_scene.emission) + jnp.sum(d_cam.position)
+
+        secs_ad = per_frame_seconds(ad_grad_scalar, repeats=2, k=32)
+        extras["ad_fwd_bwd_mrays"] = mrays_per_sec(
+            args.size, args.size, args.spp, args.bounces, secs_ad
+        )
+        emit(headline, extras)
+
+    # -- MFU / roofline (docs/ROOFLINE.md has the full derivation) ----------
+    # Counted kernel ops (traced from the kernel's own op sequence) over
+    # the measured forward frame, against the VPU peak measured on THIS
+    # chip by a Pallas FMA-chain microbenchmark (VERDICT r3 item #2).
+    if on_tpu:
+        from pathtrace_tpu.utils.roofline import mfu_report
+
+        rep = mfu_report(cfg, secs)
+        extras["counted_flops_per_segment"] = rep["counted_flops_per_segment"]
+        extras["achieved_tflops"] = rep["achieved_flops_per_sec"] / 1e12
+        extras["peak_fma_tflops"] = rep["peak_fma_flops"] / 1e12
+        extras["mfu"] = rep["mfu"]
+        extras["vpu_issue_util"] = rep["vpu_issue_util"]
         emit(headline, extras)
 
     # -- all-Pallas inverse-rendering step (cross-estimator, 256^2 x 8spp) --

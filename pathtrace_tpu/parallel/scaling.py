@@ -6,6 +6,14 @@ reports efficiency = T(1) / (N * T(N)) per mesh shape. On CI it runs on
 the virtual CPU mesh (a functional check of the measurement machinery, not
 a hardware claim); on a real pod the same entry point produces the
 reportable numbers.
+
+The day >=2 hosts exist the record is ONE command away
+(VERDICT r3 item #8):
+
+    python -m pathtrace_tpu.parallel.scaling --json
+
+prints the BASELINE efficiency record — one JSON line with the per-mesh
+throughput/efficiency table, the backend, and the host/device counts.
 """
 
 from __future__ import annotations
@@ -65,3 +73,59 @@ def measure_scaling(
             }
         )
     return results
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    """CLI: measure scaling on whatever devices this runtime has and print
+    the BASELINE efficiency record (one JSON line with --json)."""
+    import argparse
+    import json
+
+    from pathtrace_tpu.camera import Camera
+    from pathtrace_tpu.scene import cornell_box
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--spp", type=int, default=32)
+    ap.add_argument("--json", action="store_true", help="one-line JSON record")
+    ap.add_argument(
+        "--backend", default="auto",
+        help="render backend for the sharded step (auto/pallas/jnp)",
+    )
+    args = ap.parse_args(argv)
+
+    scene, cam = cornell_box(), Camera.create()
+    cfg = RenderConfig(
+        width=args.size, height=args.size, spp=args.spp, backend=args.backend
+    )
+    rows = measure_scaling(scene, cam, cfg)
+    record = {
+        "metric": f"scaling efficiency (Cornell {args.size}^2 x {args.spp}spp)",
+        "backend": jax.default_backend(),
+        "num_hosts": jax.process_count(),
+        "num_devices": len(jax.devices()),
+        "results": [
+            {k: (round(v, 4) if isinstance(v, float) else v) for k, v in r.items()}
+            for r in rows
+        ],
+        "efficiency_at_max": round(rows[-1]["efficiency"], 4),
+        "gate_80pct": rows[-1]["efficiency"] >= 0.8,
+    }
+    if args.json:
+        print(json.dumps(record))
+    else:
+        for r in record["results"]:
+            print(
+                f"devices={r['devices']:>3} mesh={r['mesh']} "
+                f"{r['mrays']:.0f} Mrays/s eff={r['efficiency']:.2%}"
+            )
+        print(f"efficiency at {record['num_devices']} devices: "
+              f"{record['efficiency_at_max']:.2%} (gate >=80%: "
+              f"{'PASS' if record['gate_80pct'] else 'FAIL'})")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
