@@ -46,6 +46,7 @@ from pathtrace_tpu.ops.pallas_trace import (
     _P_FRAME,
     _P_GOLD,
     _P_ROW,
+    interpret_param,
     make_seed_array,
     read_cam_scalars,
     read_scene_scalars,
@@ -275,7 +276,7 @@ def _launch_ad_grads(
             # the cap so tile width is a real tuning axis.
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-        interpret=pltpu.InterpretParams() if interpret else False,
+        interpret=interpret_param(interpret),
     )(scene_params, cam_params, seed_arr, ct)
     # Pairwise tree-sum across tiles (XLA reduce): log2(n_tiles) rounding
     # levels instead of the kernel-side sequential accumulation this

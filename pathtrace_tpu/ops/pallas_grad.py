@@ -49,6 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pathtrace_tpu.config import RenderConfig
 from pathtrace_tpu.ops.pallas_trace import (
+    interpret_param,
     make_seed_array,
     T_BIG,
     TWO_PI,
@@ -722,7 +723,7 @@ def fused_loss_grads_pallas(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
-        interpret=pltpu.InterpretParams() if interpret else False,
+        interpret=interpret_param(interpret),
     )(scene_params, cam_params, seed_arr, tgt)
     n = scene.num_objects
     denom = cfg.height * cfg.width * 3
@@ -797,7 +798,7 @@ def render_grad_acc_pallas(scene, cam, cfg: RenderConfig, frame, interpret: bool
             jax.ShapeDtypeStruct((n6, pad_h, pad_w), jnp.float32),
             jax.ShapeDtypeStruct((3, pad_h, pad_w), jnp.float32),
         ],
-        interpret=pltpu.InterpretParams() if interpret else False,
+        interpret=interpret_param(interpret),
     )(scene_params, cam_params, seed_arr)
     color = jnp.moveaxis(color[:, : cfg.height, : cfg.width], 0, -1)
     acc = jnp.moveaxis(acc[:, : cfg.height, : cfg.width], 0, -1)
@@ -871,7 +872,7 @@ def render_color_grads_pallas(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
-        interpret=pltpu.InterpretParams() if interpret else False,
+        interpret=interpret_param(interpret),
     )(scene_params, cam_params, seed_arr, ct)
     n = scene.num_objects
     return out[:n, 0:3], out[:n, 3:6]

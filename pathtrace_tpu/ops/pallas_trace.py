@@ -560,6 +560,22 @@ def _pathtrace_kernel(
     out_ref[13] = var(n_d, m2_d)
 
 
+def interpret_param(interpret):
+    """Resolve the ``interpret`` knob used across the Pallas launch paths:
+    False = compile (Mosaic); True = the Mosaic TPU interpreter (exact
+    TPU semantics on CPU — the CI default); "jax" = the generic Pallas
+    interpreter. The generic mode exists because the Mosaic interpreter
+    deadlocks under a MULTI-PROCESS runtime (its device-emulation
+    semaphores wait forever on a mesh that spans OS processes, observed
+    with the 2-process gloo pod); its output is bit-identical for these
+    kernels (tests/multihost_worker.py relies on this)."""
+    if not interpret:
+        return False
+    if interpret == "jax":
+        return True
+    return pltpu.InterpretParams()
+
+
 def _pack_scene(scene) -> jnp.ndarray:
     return jnp.concatenate(
         [scene.radius[:, None], scene.position, scene.emission, scene.color],
@@ -658,7 +674,7 @@ def _launch_pathtrace(
             bytes_accessed=n_ch * pad_h * pad_w * 4,
             transcendentals=int(seg_ops["transcendentals"] * n_segments),
         ),
-        interpret=pltpu.InterpretParams() if interpret else False,
+        interpret=interpret_param(interpret),
     )(scene_params, cam_params, seed_arr)
     return out[:, :local_h, : cfg.width]
 

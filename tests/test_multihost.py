@@ -51,7 +51,7 @@ def test_two_process_distributed_render():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=420)
+            out, _ = p.communicate(timeout=700)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
