@@ -141,6 +141,9 @@ def main() -> int:
         # own history without reading bench.py's past (VERDICT r3 item #6).
         vs_prior = {}
         for field, cur in extras.items():
+            if field.endswith("_ms"):
+                continue  # time-valued: ratio semantics invert (lower is
+                # better) and each has a throughput twin already compared
             pv = _prior_best(priors, field)
             if pv:
                 vs_prior[field] = round(cur / pv, 3)
