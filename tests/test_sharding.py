@@ -164,3 +164,19 @@ def test_scaling_harness_runs(setup):
     assert [r["devices"] for r in results] == [1, 2]
     assert results[0]["efficiency"] == 1.0
     assert all(r["seconds"] > 0 and r["mrays"] > 0 for r in results)
+
+
+def test_scaling_cli_json_record(setup, capsys):
+    """The one-command BASELINE efficiency record: `python -m
+    pathtrace_tpu.parallel.scaling --json` emits a parseable JSON line
+    with the per-mesh table and the >=80% gate verdict."""
+    import json
+
+    from pathtrace_tpu.parallel.scaling import main
+
+    assert main(["--size", "32", "--spp", "4", "--backend", "jnp", "--json"]) == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["num_devices"] == len(jax.devices())
+    assert rec["results"][0]["devices"] == 1
+    assert "efficiency_at_max" in rec and "gate_80pct" in rec
