@@ -197,3 +197,14 @@ def test_partials_match_jnp_accumulate():
     np.testing.assert_allclose(
         np.asarray(merged.m2), np.asarray(m_p["color"].m2), rtol=1e-4, atol=1e-4
     )
+
+
+def test_generic_interpreter_matches_mosaic_interpreter(scene, camera):
+    """interpret="jax" (the generic Pallas interpreter — required under a
+    multi-process runtime where the Mosaic interpreter deadlocks,
+    tests/multihost_worker.py) must stay bit-identical to interpret=True."""
+    cam = camera
+    cfg = RenderConfig(width=16, height=16, spp=2, max_bounces=2, backend="pallas")
+    a = np.asarray(render_channels_pallas(scene, cam, cfg, 0, interpret=True))
+    b = np.asarray(render_channels_pallas(scene, cam, cfg, 0, interpret="jax"))
+    np.testing.assert_array_equal(a, b)
