@@ -141,9 +141,13 @@ def main() -> int:
         # own history without reading bench.py's past (VERDICT r3 item #6).
         vs_prior = {}
         for field, cur in extras.items():
-            if field.endswith("_ms"):
-                continue  # time-valued: ratio semantics invert (lower is
-                # better) and each has a throughput twin already compared
+            # Only genuine throughput fields get a cross-round ratio:
+            # time-valued fields invert the better-direction semantics, and
+            # counted/peak constants (counted_flops_per_segment, mfu, ...)
+            # would read as "improvements" when a kernel change merely adds
+            # flops (advisor r4).
+            if not field.endswith(("_mrays", "_fps")):
+                continue
             pv = _prior_best(priors, field)
             if pv:
                 vs_prior[field] = round(cur / pv, 3)

@@ -109,7 +109,15 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             for r in rows
         ],
         "efficiency_at_max": round(rows[-1]["efficiency"], 4),
-        "gate_80pct": rows[-1]["efficiency"] >= 0.8,
+        # The >=80% BASELINE gate is about MULTI-device scaling; on a
+        # single device efficiency is 1.0 by construction and a printed
+        # PASS would be mistakable for meeting it (advisor r4). Emit null
+        # + reason instead.
+        "gate_80pct": (rows[-1]["efficiency"] >= 0.8
+                       if len(jax.devices()) > 1 else None),
+        "gate_reason": (None if len(jax.devices()) > 1 else
+                        "single device: efficiency trivially 1.0; the gate "
+                        "needs >=2 devices"),
     }
     if args.json:
         print(json.dumps(record))
@@ -119,9 +127,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                 f"devices={r['devices']:>3} mesh={r['mesh']} "
                 f"{r['mrays']:.0f} Mrays/s eff={r['efficiency']:.2%}"
             )
+        gate = ("not applicable (single device)" if record["gate_80pct"] is None
+                else ("PASS" if record["gate_80pct"] else "FAIL"))
         print(f"efficiency at {record['num_devices']} devices: "
-              f"{record['efficiency_at_max']:.2%} (gate >=80%: "
-              f"{'PASS' if record['gate_80pct'] else 'FAIL'})")
+              f"{record['efficiency_at_max']:.2%} (gate >=80%: {gate})")
     return 0
 
 

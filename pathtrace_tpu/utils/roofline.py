@@ -119,12 +119,20 @@ def count_jaxpr_ops(jaxpr) -> Dict[str, float]:
     return counts
 
 
-def _kernel_sample_mirror(cfg: RenderConfig, num_spheres: int, shape=(8, 128)):
+def _kernel_sample_mirror(cfg: RenderConfig, num_spheres: int, shape=(8, 128),
+                          sample_index: int = 7, frame: int = 1):
     """A traceable mirror of ONE iteration of the megakernel's per-sample
     body (``_pathtrace_kernel.sample_body``: the draw chain +
     ``trace_tile_sample`` + channel sums + the 4 Welford updates), used
-    only to COUNT its ops. Mirrors, not calls, the kernel — the kernel
-    body needs Refs; the math below is the same functions it calls."""
+    to COUNT its ops. Mirrors, not calls, the kernel — the kernel body
+    needs Refs; the math below is the same functions it calls.
+
+    ``sample_index``/``frame`` parameterize the RNG lattice position so
+    tests can ACCUMULATE the mirror over s=0..spp-1 and assert bitwise
+    equality with the real kernel's render on an (8,128) tile — the check
+    that this hand-maintained duplicate cannot silently drift from
+    ``_pathtrace_kernel`` (tests/test_render.py::test_roofline_mirror_
+    matches_kernel, advisor r4)."""
     from pathtrace_tpu.ops.pallas_trace import (
         LUMA_B, LUMA_G, LUMA_R, _mix32, _P_FRAME, _P_GOLD, _P_ROW,
         _uniform_01, trace_tile_sample,
@@ -144,10 +152,15 @@ def _kernel_sample_mirror(cfg: RenderConfig, num_spheres: int, shape=(8, 128)):
         rows_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
         cols_i = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
         pix_key = _mix32(rows_i * jnp.int32(_P_GOLD) ^ (cols_i * jnp.int32(_P_ROW)))
-        base_key = _mix32(jnp.int32(cfg.seed) ^ _mix32(jnp.int32(1) * jnp.int32(_P_FRAME)))
+        base_key = _mix32(
+            jnp.int32(cfg.seed) ^ _mix32(jnp.int32(frame) * jnp.int32(_P_FRAME))
+        )
 
         def draw(slot):
-            dk = _mix32(base_key ^ ((jnp.int32(7) * n_slots + jnp.int32(slot)) * jnp.int32(_P_GOLD)))
+            dk = _mix32(base_key ^ (
+                (jnp.int32(sample_index) * n_slots + jnp.int32(slot))
+                * jnp.int32(_P_GOLD)
+            ))
             return _uniform_01(pix_key, dk)
 
         (
@@ -193,8 +206,27 @@ def _kernel_sample_mirror(cfg: RenderConfig, num_spheres: int, shape=(8, 128)):
     return fn
 
 
-@functools.lru_cache(maxsize=16)
+def _count_cfg(cfg: RenderConfig) -> RenderConfig:
+    """Normalize a config to the fields the per-sample op COUNT actually
+    depends on (brdf, nee/light_index, max_bounces, resolved jitter,
+    num_spheres). Without this every new width/height/spp/seed re-traces
+    the whole 5-bounce sample body and thrashes the lru cache (advisor
+    r4). spp is pinned to 1 or 2 to preserve ``resolved_jitter``."""
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg, width=128, height=128, spp=1 if not cfg.resolved_jitter else 2,
+        jitter=cfg.resolved_jitter, seed=0, spp_chunk=0,
+        tile_shape=(8, 128),
+    )
+
+
 def megakernel_ops(cfg: RenderConfig, num_spheres: int = 9) -> Dict[str, float]:
+    return _megakernel_ops_impl(_count_cfg(cfg), num_spheres)
+
+
+@functools.lru_cache(maxsize=16)
+def _megakernel_ops_impl(cfg: RenderConfig, num_spheres: int = 9) -> Dict[str, float]:
     """Counted ops per (pixel, sample) of the megakernel's sample body,
     split by class, plus the per-SEGMENT (per path-bounce, the Mrays unit)
     totals the roofline uses."""
@@ -212,8 +244,12 @@ def megakernel_ops(cfg: RenderConfig, num_spheres: int = 9) -> Dict[str, float]:
     return {"per_pixel_sample": per_px_sample, "per_segment": per_seg}
 
 
-@functools.lru_cache(maxsize=16)
 def ad_kernel_ops(cfg: RenderConfig, num_spheres: int = 9) -> Dict[str, float]:
+    return _ad_kernel_ops_impl(_count_cfg(cfg), num_spheres)
+
+
+@functools.lru_cache(maxsize=16)
+def _ad_kernel_ops_impl(cfg: RenderConfig, num_spheres: int = 9) -> Dict[str, float]:
     """Counted ops per (pixel, sample) of the in-kernel-AD gradient
     kernel's sample body (ops/pallas_ad.py: jax.vjp of the trace with
     tile-shaped parameters + Kahan accumulation), and of the color-only

@@ -68,7 +68,7 @@ let url = null;
 async function loop() {
   while (true) {
     const payload = { keys: Array.from(keys), dx, dy, tab, space, esc };
-    dx = 0; dy = 0; tab = 0; space = 0;
+    dx = 0; dy = 0; tab = 0; space = 0; esc = 0;
     try {
       const r = await fetch('/step', { method: 'POST', body: JSON.stringify(payload) });
       if (r.headers.get('X-Quit') === '1') { hud.textContent = 'viewer shut down (ESC)'; return; }

@@ -124,3 +124,54 @@ def test_convergence_toward_high_spp(scene, camera):
     )
     diff = np.abs(np.asarray(lo["color"]) - np.asarray(hi["color"])).mean()
     assert diff < 0.08
+
+
+def test_roofline_mirror_matches_kernel(scene, camera):
+    """The roofline op counter traces _kernel_sample_mirror, a
+    hand-maintained duplicate of _pathtrace_kernel's sample body; this
+    asserts the mirror's ACCUMULATED output equals the real kernel's
+    render on an (8,128) tile, so silent drift fails CI instead of
+    corrupting the counted mfu numerator (advisor r4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pathtrace_tpu.ops.pallas_trace import (
+        _pack_scene, render_channels_pallas,
+    )
+    from pathtrace_tpu.utils.roofline import _kernel_sample_mirror
+
+    cfg = RenderConfig(width=128, height=8, spp=4, backend="pallas",
+                       tile_shape=(8, 128), seed=3)
+    frame = 2
+    real = np.asarray(render_channels_pallas(scene, camera, cfg, frame=frame,
+                                             interpret=True))
+
+    scene10 = _pack_scene(scene)
+    cam53 = jnp.concatenate(
+        [camera.position[None], camera.eye_ray_basis(cfg.width, cfg.height)],
+        axis=0,
+    ).astype(jnp.float32)
+    shape = (cfg.height, cfg.width)
+    carry = tuple(jnp.zeros(shape, jnp.float32) for _ in range(22))
+    for s in range(cfg.spp):
+        fn = _kernel_sample_mirror(cfg, scene.num_objects, shape,
+                                   sample_index=s, frame=frame)
+        carry = jax.jit(fn)(scene10, cam53, carry)
+    sums = carry[:10]
+    inv_spp = 1.0 / cfg.spp
+    expected = [np.asarray(c) * inv_spp for c in sums]
+
+    def var(n, m2):
+        n = np.asarray(n)
+        m2 = np.asarray(m2)
+        return np.where(n >= 2.0, m2 / np.maximum(n - 1.0, 1.0), 0.0)
+
+    expected.append(var(carry[10], carry[12]))
+    expected.append(var(carry[13], carry[15]))
+    expected.append(var(carry[16], carry[18]))
+    expected.append(var(carry[19], carry[21]))
+    for k in range(14):
+        np.testing.assert_allclose(
+            real[..., k], expected[k], rtol=2e-5, atol=2e-6,
+            err_msg=f"channel {k}: roofline mirror drifted from the kernel",
+        )
