@@ -942,11 +942,16 @@ def pallas_loss_and_grads(scene, cam, cfg: RenderConfig, frame, target, interpre
     all-Pallas fwd+bwd path for EVERY config. Diffuse/no-NEE: the
     single-pass fused kernel (geometry/camera gradients are exactly zero
     for that estimator, so the zero blocks are correct, not placeholders).
-    NEE/glossy: the in-kernel-AD backward (pallas_ad.py) with full
-    geometry + camera gradients."""
+    NEE diffuse: the hand-derived single-pass sweep (pallas_nee_grad.py,
+    ~2x the AD kernel's throughput, full geometry + camera gradients).
+    Glossy: the in-kernel-AD backward (pallas_ad.py)."""
     from pathtrace_tpu.camera import Camera
     from pathtrace_tpu.scene import Scene
 
+    if cfg.nee and cfg.brdf == "diffuse":
+        from pathtrace_tpu.ops.pallas_nee_grad import nee_loss_and_grads_pallas
+
+        return nee_loss_and_grads_pallas(scene, cam, cfg, frame, target, interpret)
     if cfg.nee or cfg.brdf != "diffuse":
         from pathtrace_tpu.ops.pallas_ad import ad_loss_and_grads_pallas
 
