@@ -115,6 +115,13 @@ class FrameStepper:
             self._prog.accumulate(min(batch, self.max_spp - self._prog.samples_done))
         return self._prog.aovs()
 
+    # Progressive-denoise fade scale: the blend weight is the accumulated
+    # MEAN's per-pixel luma std (sqrt(var/n)) over this value, clipped to
+    # [0, 1] — at 2-4 spp noisy pixels sit well above it (full CNN), by a
+    # few thousand spp the Monte-Carlo error is an order below it and the
+    # display converges to the clean accumulation.
+    denoise_fade_std = 0.05
+
     def step(self) -> np.ndarray:
         t0 = time.perf_counter()
         aovs = self._step_aovs()
@@ -122,6 +129,20 @@ class FrameStepper:
             from pathtrace_tpu.models.infer import denoise_channels
 
             color = denoise_channels(pack_channels(aovs), self.checkpoint)
+            if self.progressive and self._prog is not None:
+                # Denoise-while-converging: blend the CNN output against
+                # the raw accumulation with a per-pixel weight driven by
+                # the variance channels the partials already carry — the
+                # CNN dominates early (high-noise) frames and fades out
+                # as the accumulator converges, instead of permanently
+                # overwriting a better-than-CNN clean image. Exceeds the
+                # reference's fixed-spp loop (src/main.cu:146-177).
+                n = float(max(self._prog.samples_done, 1))
+                std_mean = jnp.sqrt(
+                    jnp.maximum(aovs["color_var"], 0.0) / n
+                )
+                w = jnp.clip(std_mean / self.denoise_fade_std, 0.0, 1.0)
+                color = w[..., None] * color + (1.0 - w[..., None]) * aovs["color"]
         else:
             color = aovs["color"]
         rgb = np.asarray(to_display(color))

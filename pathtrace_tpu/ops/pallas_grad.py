@@ -734,6 +734,82 @@ def fused_loss_grads_pallas(
     return loss, d_e, d_c, color
 
 
+def grad_acc_slab(
+    scene,
+    cam,
+    cfg: RenderConfig,
+    frame,
+    row_offset=0,
+    local_h: int | None = None,
+    spp: int | None = None,
+    sample_offset=0,
+    interpret: bool = False,
+):
+    """Slab/sample-range variant of ``render_grad_acc_pallas`` — the
+    shard_map hook: ONE dump-mode trajectory pass on this device's
+    (row-slab, spp-range) shard -> (color [local_h, W, 3] local-spp mean,
+    acc [local_h, W, 6N] local-spp-averaged cotangent-free gradient
+    accumulators). Offsets may be traced mesh ``axis_index`` values.
+    Diffuse gathering only (see render_grad_acc_pallas)."""
+    if cfg.nee or cfg.brdf != "diffuse":
+        raise ValueError("grad_acc_slab is diffuse-gathering only")
+    local_h = cfg.height if local_h is None else local_h
+    spp = cfg.spp if spp is None else spp
+    tile_h, tile_w, pad_h, pad_w = tile_dims_grad(cfg, local_h)
+    scene_params = _pack_scene(scene)
+    basis = cam.eye_ray_basis(cfg.width, cfg.height)
+    cam_params = jnp.concatenate([cam.position[None, :], basis], axis=0)
+    seed_arr = make_seed_array(cfg, frame, sample_offset, row_offset)
+    n6 = scene.num_objects * 6
+    grid = (pad_h // tile_h, pad_w // tile_w)
+    kernel = functools.partial(
+        _fused_loss_grad_kernel,
+        mode="dump",
+        num_spheres=scene.num_objects,
+        spp=spp,
+        max_bounces=cfg.max_bounces,
+        jitter=cfg.resolved_jitter,
+        push=cfg.push_ray_origin,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        height=cfg.height,
+        width=cfg.width,
+    )
+    acc, color = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (n6, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (3, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n6, pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((3, pad_h, pad_w), jnp.float32),
+        ],
+        interpret=interpret_param(interpret),
+    )(scene_params, cam_params, seed_arr)
+    color = jnp.moveaxis(color[:, :local_h, : cfg.width], 0, -1)
+    acc = jnp.moveaxis(acc[:, :local_h, : cfg.width], 0, -1)
+    return color, acc
+
+
+def tile_dims_grad(cfg: RenderConfig, local_h: int):
+    """The grad kernels' tile policy (shared by the full-frame wrappers)."""
+    tile_h, tile_w = cfg.tile_shape
+    tile_h = max(8, tile_h)
+    tile_w = max(128, _round_up(min(tile_w, cfg.width), 128))
+    return tile_h, tile_w, _round_up(local_h, tile_h), _round_up(cfg.width, tile_w)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
 def render_grad_acc_pallas(scene, cam, cfg: RenderConfig, frame, interpret: bool = False):
     """ONE trajectory pass -> (color [H,W,3], acc [H,W,6N]).

@@ -515,7 +515,15 @@ def _nee_grad_kernel(
                     dx_ * h_hat[k][0] + dy_ * h_hat[k][1] + dz_ * h_hat[k][2]
                 )
 
-            # t chain (winner only; shared forward recompute):
+            # t chain (winner only). Every per-channel cotangent is
+            # t̂_u[k] times a CHANNEL-INDEPENDENT gradient vector, so the
+            # closed-form k_p/k_d/k_r are computed once and the per-
+            # channel work is four scalar-times-vector FMAs:
+            #   t_u = tca + sig*sqrt(r^2 - |q|^2),  q = rel - tca*dn
+            #   k_p = corr*dn - a*q        (= -k_o)
+            #   k_d = corr*rel + tca*a*q
+            #   k_r = a*r
+            # with a = sig/thc (det>0-gated) and corr = 1 + a*(q.dn).
             inv_len = tp["inv_len"]
             if inv_len is None:
                 dnx, dny, dnz = dx_, dy_, dz_
@@ -535,7 +543,16 @@ def _nee_grad_kernel(
                 gate, jax.lax.rsqrt(jnp.where(gate, det, 1.0)), 0.0
             )
             sig = tp["sig"]
-            half_sig_invthc = 0.5 * sig * inv_thc
+            a_ = sig * inv_thc
+            ux, uy, uz = a_ * qx, a_ * qy, a_ * qz
+            corr = 1.0 + _dot3(ux, uy, uz, dnx, dny, dnz)
+            kpx = corr * dnx - ux
+            kpy = corr * dny - uy
+            kpz = corr * dnz - uz
+            kdx = corr * relx + tca * ux
+            kdy = corr * rely + tca * uy
+            kdz = corr * relz + tca * uz
+            kr = a_ * rad_w
             dn_hat = [[zeros, zeros, zeros] for _ in range(C)]
             il_hat = [zeros] * C  # inv_len cotangent (bounce 0)
             if inv_len is not None:
@@ -547,24 +564,16 @@ def _nee_grad_kernel(
                     # t = t_u * inv_len
                     tu_hat = t_hat[k] * inv_len
                     il_hat[k] += t_hat[k] * t_u
-                det_hat = tu_hat * half_sig_invthc
-                r_hat[k] += det_hat * (2.0 * rad_w)
-                qs = -2.0 * det_hat  # q_hat = qs * q
-                tca_hat = tu_hat - qs * (
-                    qx * dnx + qy * dny + qz * dnz
-                )
-                relx_h = qs * qx + tca_hat * dnx
-                rely_h = qs * qy + tca_hat * dny
-                relz_h = qs * qz + tca_hat * dnz
-                dn_hat[k][0] += qs * qx * (-tca) + tca_hat * relx
-                dn_hat[k][1] += qs * qy * (-tca) + tca_hat * rely
-                dn_hat[k][2] += qs * qz * (-tca) + tca_hat * relz
-                p_hat[k][0] += relx_h
-                p_hat[k][1] += rely_h
-                p_hat[k][2] += relz_h
-                o_hat[k][0] -= relx_h
-                o_hat[k][1] -= rely_h
-                o_hat[k][2] -= relz_h
+                r_hat[k] += tu_hat * kr
+                p_hat[k][0] += tu_hat * kpx
+                p_hat[k][1] += tu_hat * kpy
+                p_hat[k][2] += tu_hat * kpz
+                o_hat[k][0] -= tu_hat * kpx
+                o_hat[k][1] -= tu_hat * kpy
+                o_hat[k][2] -= tu_hat * kpz
+                dn_hat[k][0] += tu_hat * kdx
+                dn_hat[k][1] += tu_hat * kdy
+                dn_hat[k][2] += tu_hat * kdz
 
             if inv_len is None:
                 for k in range(C):

@@ -139,28 +139,83 @@ def _build_sharded_grads(cfg: RenderConfig, mesh: Mesh, interpret: bool = False)
     n_s = mesh.shape["samples"]
     if cfg.height % n_t or cfg.spp % n_s:
         raise ValueError("height/spp must divide the mesh axes")
+    if interpret is True and n_t * n_s > 1:
+        # The Mosaic TPU interpreter's device-emulation semaphores wedge
+        # for the multi-output grad kernels on a multi-device mesh (the
+        # single-process sibling of its documented multi-process deadlock,
+        # ops/pallas_trace.interpret_param). The generic Pallas
+        # interpreter is bit-identical for these kernels
+        # (tests/test_pallas.py interpreter-equivalence).
+        interpret = "jax"
     local_h = cfg.height // n_t
     local_spp = cfg.spp // n_s
     backend = _resolve_backend(cfg)
 
     def shard_fn_pallas(scene, cam, target, frame):
-        # All-Pallas SPMD fwd+bwd: (1) color-only megakernel on this
-        # device's (row-slab, spp-range) shard; (2) psum over "samples"
-        # forms the global mean color, hence the loss cotangent (which no
-        # single device could know alone); (3) the in-kernel-AD replay
-        # kernel (ops/pallas_ad.py) turns the cotangent slab into scene/
-        # camera gradients; (4) gradient psum over both axes — which XLA
-        # overlaps with other shards' compute. The reference has no analog
-        # (single GPU, no gradients); this is BASELINE.json's north star.
-        from pathtrace_tpu.ops.pallas_ad import (
-            ad_grads_block_slab,
-            grads_from_block,
-            pack_cotangents,
-        )
-        from pathtrace_tpu.ops.pallas_trace import render_color_sums_pallas
+        # All-Pallas SPMD fwd+bwd. Shared structure: each device owns a
+        # (row-slab, spp-range) shard of the global lattice; the loss
+        # cotangent needs the GLOBAL mean color, which no device can know
+        # before a psum over "samples"; gradients psum over both axes and
+        # XLA overlaps the all-reduce with remaining compute. The
+        # per-config backward picks the cheapest exact kernel
+        # (dispatch mirror of ops/pallas_grad.pallas_loss_and_grads):
+        #
+        # - diffuse/no-NEE: ONE dump-mode trajectory pass per shard
+        #   (_fused_loss_grad_kernel mode="dump") emits the local color
+        #   AND per-pixel cotangent-free gradient accumulators; after the
+        #   color psum the cotangent contraction is a cheap jnp epilogue —
+        #   no second pass, the sharded step costs what the fused
+        #   single-chip kernel costs.
+        # - NEE diffuse: color pass -> psum -> hand-derived replay sweep
+        #   (ops/pallas_nee_grad.py) — ~60% of the vjp replay's ops.
+        # - glossy: color pass -> psum -> in-kernel-AD replay
+        #   (ops/pallas_ad.py), the generic fallback.
+        #
+        # The reference has no analog (single GPU, no gradients); this is
+        # BASELINE.json's north star.
+        from pathtrace_tpu.camera import Camera
+        from pathtrace_tpu.ops.pallas_ad import grads_from_block
+        from pathtrace_tpu.scene import Scene
 
         ti = jax.lax.axis_index("tiles")
         si = jax.lax.axis_index("samples")
+        denom = cfg.height * cfg.width * 3
+
+        if not cfg.nee and cfg.brdf == "diffuse":
+            from pathtrace_tpu.ops.pallas_grad import grad_acc_slab
+
+            local_color, acc = grad_acc_slab(
+                scene, cam, cfg, frame,
+                row_offset=ti * local_h, local_h=local_h,
+                spp=local_spp, sample_offset=si * local_spp,
+                interpret=interpret,
+            )
+            # local_color/acc are LOCAL-spp means; rescale to the global
+            # spp average before the samples psum.
+            scale = local_spp / cfg.spp
+            color = jax.lax.psum(local_color * scale, "samples")
+            diff = color - target
+            loss = jax.lax.psum(jnp.sum(diff * diff), "tiles") / denom
+            ct = 2.0 * diff / denom * scale
+            n = scene.num_objects
+            ct6 = jnp.tile(ct, (1, 1, 2 * n))
+            g = jnp.sum(ct6 * acc, axis=(0, 1)).reshape(n, 6)
+            g = jax.lax.psum(g, ("tiles", "samples"))
+            d_scene = Scene(
+                radius=jnp.zeros_like(scene.radius),
+                position=jnp.zeros_like(scene.position),
+                emission=g[:, 0:3],
+                color=g[:, 3:6],
+            )
+            d_cam = Camera(
+                position=jnp.zeros_like(cam.position),
+                yaw=jnp.zeros_like(cam.yaw),
+                pitch=jnp.zeros_like(cam.pitch),
+            )
+            return loss, (d_scene, d_cam)
+
+        from pathtrace_tpu.ops.pallas_trace import render_color_sums_pallas
+
         sums = render_color_sums_pallas(
             scene, cam, cfg, frame,
             row_offset=ti * local_h, local_h=local_h,
@@ -169,17 +224,32 @@ def _build_sharded_grads(cfg: RenderConfig, mesh: Mesh, interpret: bool = False)
         )
         color = jax.lax.psum(sums, "samples") / cfg.spp  # [local_h, W, 3]
         diff = color - target
-        denom = cfg.height * cfg.width * 3
         loss = jax.lax.psum(jnp.sum(diff * diff), "tiles") / denom
-        ct_block = pack_cotangents(
-            cfg, ct_color=2.0 * diff / denom, local_h=local_h
-        )
-        block = ad_grads_block_slab(
-            scene, cam, cfg, frame, ct_block,
-            row_offset=ti * local_h, local_h=local_h,
-            spp=local_spp, sample_offset=si * local_spp,
-            interpret=interpret,
-        )
+        if cfg.brdf == "diffuse":
+            from pathtrace_tpu.ops.pallas_nee_grad import nee_grads_block_slab
+
+            ct = jnp.moveaxis(2.0 * diff / denom / cfg.spp, -1, 0)
+            block = nee_grads_block_slab(
+                scene, cam, cfg, frame, ct,
+                row_offset=ti * local_h, local_h=local_h,
+                spp=local_spp, sample_offset=si * local_spp,
+                interpret=interpret,
+            )
+        else:
+            from pathtrace_tpu.ops.pallas_ad import (
+                ad_grads_block_slab,
+                pack_cotangents,
+            )
+
+            ct_block = pack_cotangents(
+                cfg, ct_color=2.0 * diff / denom, local_h=local_h
+            )
+            block = ad_grads_block_slab(
+                scene, cam, cfg, frame, ct_block,
+                row_offset=ti * local_h, local_h=local_h,
+                spp=local_spp, sample_offset=si * local_spp,
+                interpret=interpret,
+            )
         block = jax.lax.psum(block, ("tiles", "samples"))
         return loss, grads_from_block(scene, cam, cfg, block)
 

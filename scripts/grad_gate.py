@@ -213,8 +213,8 @@ def main() -> int:
         "own gate into a PASS (it FAILs the block instead).",
         "",
         "| block | f32 floor (CPU) | f32 replay (TPU) | jnp AD (TPU) "
-        "| Pallas (TPU) | gate | pass |",
-        "|---|---|---|---|---|---|---|",
+        "| Pallas AD (TPU) | Pallas hand sweep (TPU) | gate | pass |",
+        "|---|---|---|---|---|---|---|---|",
     ]
 
     loss_jn, (ds_jn, dc_jn) = jax.block_until_ready(
@@ -222,6 +222,14 @@ def main() -> int:
     )
     loss_pn, (ds_pn, dc_pn) = jax.block_until_ready(
         ad_loss_and_grads_pallas(scene, cam, cfg_pn, 0, target)
+    )
+    # The r5 hand-derived single-pass NEE sweep (ops/pallas_nee_grad.py) —
+    # the production dispatch for this config — gates against the SAME f64
+    # oracle alongside the generic AD kernel.
+    from pathtrace_tpu.ops.pallas_nee_grad import nee_loss_and_grads_pallas
+
+    loss_hn, (ds_hn, dc_hn) = jax.block_until_ready(
+        nee_loss_and_grads_pallas(scene, cam, cfg_pn, 0, target)
     )
 
     # f32 replay of the ORACLE'S OWN decisions on this backend: pure
@@ -243,24 +251,25 @@ def main() -> int:
 
     blocks = [
         ("d emission", "d_emission", ds_jn.emission, ds_pn.emission,
-         None if ds_rep is None else ds_rep.emission),
+         None if ds_rep is None else ds_rep.emission, ds_hn.emission),
         ("d albedo", "d_albedo", ds_jn.color, ds_pn.color,
-         None if ds_rep is None else ds_rep.color),
+         None if ds_rep is None else ds_rep.color, ds_hn.color),
         ("d position", "d_position", ds_jn.position, ds_pn.position,
-         None if ds_rep is None else ds_rep.position),
+         None if ds_rep is None else ds_rep.position, ds_hn.position),
         ("d radius", "d_radius", ds_jn.radius, ds_pn.radius,
-         None if ds_rep is None else ds_rep.radius),
+         None if ds_rep is None else ds_rep.radius, ds_hn.radius),
         ("d camera pos", "d_cam_position", dc_jn.position, dc_pn.position,
-         None if dc_rep is None else dc_rep.position),
+         None if dc_rep is None else dc_rep.position, dc_hn.position),
         (
             "d camera yaw/pitch",
             None,
             cam_yp(dc_jn),
             cam_yp(dc_pn),
             None if dc_rep is None else cam_yp(dc_rep),
+            cam_yp(dc_hn),
         ),
     ]
-    for name, key, g_jnp, g_pal, g_rep in blocks:
+    for name, key, g_jnp, g_pal, g_rep, g_hand in blocks:
         if key is None:
             oracle = np.array(
                 [float(orc["f64_d_cam_yaw"]), float(orc["f64_d_cam_pitch"])]
@@ -280,16 +289,17 @@ def main() -> int:
         # f32 accumulation; same-decision cross-platform drift) or an
         # absolute 2e-2 — beyond that it is a bug, not noise, and the
         # block FAILs regardless of how close Pallas sits to it.
+        e_hand = rel_err(g_hand, oracle)
         floor = max(e_floor, e_rep) if e_rep is not None else e_floor
         ceil_jnp = max(10.0 * floor, 2e-2)
         jnp_ok = e_jnp <= ceil_jnp
         gate = max(min(e_jnp, ceil_jnp), 2.0 * e_floor, 5e-3)
-        good = (e_pal <= gate) and jnp_ok
+        good = (e_pal <= gate) and (e_hand <= gate) and jnp_ok
         ok &= good
         rep_txt = f"{e_rep:.2e}" if e_rep is not None else "—"
         lines.append(
             f"| {name} | {e_floor:.2e} | {rep_txt} | {e_jnp:.2e} "
-            f"(≤{ceil_jnp:.1e}) | {e_pal:.2e} | {gate:.2e} | "
+            f"(≤{ceil_jnp:.1e}) | {e_pal:.2e} | {e_hand:.2e} | {gate:.2e} | "
             f"{'PASS' if good else 'FAIL'} |"
         )
 

@@ -114,3 +114,58 @@ def test_progressive_max_spp_cap():
     for _ in range(5):
         stepper.step()
     assert stepper.spp_accumulated == 6  # capped: 2 + 2 + 2, then idle
+
+
+def test_progressive_denoise_fades_to_accumulation(tmp_path):
+    """Denoise-while-converging: with a checkpoint + progressive mode the
+    displayed frame blends CNN output against the accumulation with a
+    variance-driven weight — at low spp it differs from the raw
+    accumulation (CNN active), and as the accumulated mean's std falls
+    well below denoise_fade_std the display converges to the raw
+    accumulation (CNN faded out)."""
+    from pathtrace_tpu.interactive import to_display
+
+    model = DenoiseCNN(widths=(8, 16))
+    state = create_state(jax.random.key(0), model, (32, 32, 14))
+    save_checkpoint(str(tmp_path), state, model)
+
+    cfg = RenderConfig(width=32, height=32, spp=2, backend="jnp")
+    stepper = FrameStepper(
+        cornell_box(), Camera.create(), cfg, denoising=True,
+        checkpoint=str(tmp_path), progressive=True,
+    )
+    early = stepper.step()  # 2 spp: CNN fully active on noisy pixels
+    raw_early = np.asarray(to_display(stepper._prog.aovs()["color"]))
+    assert not np.array_equal(early, raw_early)
+
+    # Converge far past the fade scale, then compare display vs raw. The
+    # mean difference keeps a tail from genuinely-still-noisy pixels
+    # (indirect-light fireflies keep the CNN active BY DESIGN — the weight
+    # is per-pixel variance, not global spp), so gate the mean at a
+    # fraction of the early gap and the median near zero.
+    stepper.max_spp = 16384
+    for _ in range(15):
+        out = stepper.step()
+    raw = np.asarray(to_display(stepper._prog.aovs()["color"]))
+    late_diff = np.abs(out.astype(int) - raw.astype(int))
+    early_diff = np.abs(early.astype(int) - raw_early.astype(int)).mean()
+    assert late_diff.mean() < 0.35 * early_diff
+
+    # And the displayed frame IS the documented blend, exactly:
+    # w = clip(sqrt(var/n)/fade_std, 0, 1) per pixel.
+    import jax.numpy as jnp
+
+    from pathtrace_tpu.models.infer import denoise_channels
+    from pathtrace_tpu.render import pack_channels
+
+    aovs = stepper._prog.aovs()
+    den = denoise_channels(pack_channels(aovs), str(tmp_path))
+    n = float(stepper._prog.samples_done)
+    w = np.clip(
+        np.sqrt(np.maximum(np.asarray(aovs["color_var"]), 0.0) / n)
+        / stepper.denoise_fade_std, 0.0, 1.0,
+    )[..., None]
+    want = np.asarray(to_display(
+        jnp.asarray(w * np.asarray(den) + (1 - w) * np.asarray(aovs["color"]))
+    ))
+    np.testing.assert_array_equal(out, want)

@@ -180,3 +180,34 @@ def test_scaling_cli_json_record(setup, capsys):
     assert rec["num_devices"] == len(jax.devices())
     assert rec["results"][0]["devices"] == 1
     assert "efficiency_at_max" in rec and "gate_80pct" in rec
+
+
+@pytest.mark.slow
+def test_sharded_nee_grads_match_single_chip(setup):
+    """Sharded NEE fwd+bwd (color psum -> hand-derived replay sweep,
+    ops/pallas_nee_grad.py) matches the single-chip fused hand kernel —
+    including geometry/camera gradients."""
+    from pathtrace_tpu.ops.pallas_nee_grad import nee_loss_and_grads_pallas
+
+    scene, cam = setup
+    cfg = RenderConfig(width=128, height=16, spp=2, backend="pallas", seed=2,
+                       max_bounces=2, nee=True)
+    target = jnp.zeros((16, 128, 3), jnp.float32)
+    mesh = make_mesh(tiles=4, samples=2)
+    loss_s, (ds_s, dc_s) = sharded_loss_grads(
+        scene, cam, cfg, mesh, target, interpret=True
+    )
+    loss_f, (ds_f, dc_f) = nee_loss_and_grads_pallas(
+        scene, cam, cfg, 0, target, interpret=True
+    )
+    np.testing.assert_allclose(float(loss_s), float(loss_f), rtol=1e-5)
+    for name in ("emission", "color", "position", "radius"):
+        g, w = np.asarray(getattr(ds_s, name)), np.asarray(getattr(ds_f, name))
+        scale = max(float(np.abs(w).max()), 1e-12)
+        np.testing.assert_allclose(
+            g, w, rtol=1e-3, atol=1e-4 * scale, err_msg=name
+        )
+    np.testing.assert_allclose(
+        np.asarray(dc_s.position), np.asarray(dc_f.position), rtol=1e-3,
+        atol=1e-4 * max(float(np.abs(np.asarray(dc_f.position)).max()), 1e-12),
+    )
