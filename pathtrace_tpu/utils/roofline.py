@@ -330,6 +330,57 @@ def _ad_kernel_ops_impl(cfg: RenderConfig, num_spheres: int = 9) -> Dict[str, fl
     }
 
 
+def _find_pallas_call(jaxpr):
+    inner = getattr(jaxpr, "jaxpr", jaxpr)
+    for eqn in inner.eqns:
+        if eqn.primitive.name == "pallas_call":
+            return eqn
+        for key in _CALL_PARAMS:
+            if key in eqn.params:
+                found = _find_pallas_call(eqn.params[key])
+                if found is not None:
+                    return found
+    return None
+
+
+def nee_kernel_ops(num_spheres: int = 9, max_bounces: int = 5) -> Dict[str, float]:
+    """Counted per-(sample, segment) op budget of the hand-derived NEE
+    fused fwd+bwd kernel (ops/pallas_nee_grad.py) — counted from the REAL
+    kernel jaxpr (the ``pallas_call`` primitive's inner jaxpr), not a
+    mirror: two traces at spp 2 and 4 difference away the per-tile
+    epilogue (cotangent contraction + reductions), leaving exactly the
+    per-sample spp-loop body."""
+    import jax.numpy as jnp
+
+    from pathtrace_tpu.camera import Camera
+    from pathtrace_tpu.ops.pallas_nee_grad import nee_loss_and_grads_pallas
+    from pathtrace_tpu.scene import cornell_box
+
+    scene, cam = cornell_box(), Camera.create()
+    assert scene.num_objects == num_spheres
+
+    def tile_counts(spp):
+        cfg = RenderConfig(
+            width=128, height=8, spp=spp, max_bounces=max_bounces,
+            backend="pallas", nee=True, tile_shape=(8, 128),
+        )
+        target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+        jx = jax.make_jaxpr(
+            lambda s, c, t: nee_loss_and_grads_pallas(s, c, cfg, 0, t)
+        )(scene, cam, target)
+        eqn = _find_pallas_call(jx)
+        counts = count_jaxpr_ops(eqn.params["jaxpr"])
+        return {k: v / (8 * 128) for k, v in counts.items()}
+
+    lo, hi = tile_counts(2), tile_counts(4)
+    per_seg = {
+        k: (hi[k] - lo[k]) / 2.0 / max_bounces for k in lo
+    }
+    per_seg["total"] = sum(per_seg.values())
+    epilogue_per_px = {k: lo[k] - 2.0 * max_bounces * per_seg[k] for k in lo}
+    return {"per_segment": per_seg, "epilogue_per_pixel": epilogue_per_px}
+
+
 # -- measured VPU peak -------------------------------------------------------
 
 def _chain_kernel(x_ref, a_ref, o_ref, *, iters: int, inner: int,
