@@ -119,8 +119,12 @@ class FrameStepper:
     # MEAN's per-pixel luma std (sqrt(var/n)) over this value, clipped to
     # [0, 1] — at 2-4 spp noisy pixels sit well above it (full CNN), by a
     # few thousand spp the Monte-Carlo error is an order below it and the
-    # display converges to the clean accumulation.
+    # display converges to the clean accumulation. The weight is floored
+    # by a low-n prior (denoise_fade_spp / n): a 2-sample pixel whose two
+    # samples agree has zero SAMPLED variance but proves nothing about
+    # its true error, so early frames stay fully denoised regardless.
     denoise_fade_std = 0.05
+    denoise_fade_spp = 16.0
 
     def step(self) -> np.ndarray:
         t0 = time.perf_counter()
@@ -141,7 +145,14 @@ class FrameStepper:
                 std_mean = jnp.sqrt(
                     jnp.maximum(aovs["color_var"], 0.0) / n
                 )
-                w = jnp.clip(std_mean / self.denoise_fade_std, 0.0, 1.0)
+                w = jnp.clip(
+                    jnp.maximum(
+                        std_mean / self.denoise_fade_std,
+                        self.denoise_fade_spp / n,
+                    ),
+                    0.0,
+                    1.0,
+                )
                 color = w[..., None] * color + (1.0 - w[..., None]) * aovs["color"]
         else:
             color = aovs["color"]

@@ -162,8 +162,11 @@ def test_progressive_denoise_fades_to_accumulation(tmp_path):
     den = denoise_channels(pack_channels(aovs), str(tmp_path))
     n = float(stepper._prog.samples_done)
     w = np.clip(
-        np.sqrt(np.maximum(np.asarray(aovs["color_var"]), 0.0) / n)
-        / stepper.denoise_fade_std, 0.0, 1.0,
+        np.maximum(
+            np.sqrt(np.maximum(np.asarray(aovs["color_var"]), 0.0) / n)
+            / stepper.denoise_fade_std,
+            stepper.denoise_fade_spp / n,
+        ), 0.0, 1.0,
     )[..., None]
     want = np.asarray(to_display(
         jnp.asarray(w * np.asarray(den) + (1 - w) * np.asarray(aovs["color"]))
