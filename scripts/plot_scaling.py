@@ -56,9 +56,11 @@ def main() -> int:
         ax.annotate(f"{y:.2f} dB", (x, y), textcoords="offset points",
                     xytext=(0, 9), ha="center", fontsize=8, color=INK)
     if cap:
+        # The probe sits at the same corpus as a curve point: a surface
+        # ring separates the overlapping marks.
         ax.plot([cap[0]], [cap[1]], marker="D", color=ORANGE, markersize=8,
                 linestyle="none", label="capacity probe (lateral 64)",
-                zorder=3)
+                markeredgecolor="white", markeredgewidth=1.5, zorder=4)
         ax.annotate(f"{cap[1]:.2f} dB", cap, textcoords="offset points",
                     xytext=(0, -16), ha="center", fontsize=8, color=INK)
 
